@@ -1,0 +1,358 @@
+"""Typed configuration tree serving every workload.
+
+One config schema replaces the reference's three systems (OmegaConf YAML for the
+GPU stacks `LRW/video/src/train.py:51`, `LRS/video/main.py:62`; argparse with
+~35 flags for the TPU landmark stack `LRW/landmark/src/main.py:90-139`).
+Any leaf is overridable from the CLI with dotted keys (``optim.lr=3e-4``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Optional, Sequence, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Codec constants (reference: LRW/video/src/lightning.py:57-79)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CodecConfig:
+    """Quantized-audio codec geometry.
+
+    vq-wav2vec: alignment=4, groups=2, vocab=320 — wav2vec2: alignment=2,
+    groups=2, vocab=640 (reference LRW/video/src/lightning.py:57-67). Audio
+    tokens come pre-tokenized from the released pkls; the quantizers are never
+    run on-device.
+    """
+
+    name: str = "vq"  # "vq" | "wav2vec2"
+    audio_alignment: int = 4
+    vq_groups: int = 2
+    audio_vocab_size: int = 320
+
+    @staticmethod
+    def vq() -> "CodecConfig":
+        return CodecConfig("vq", 4, 2, 320)
+
+    @staticmethod
+    def wav2vec2() -> "CodecConfig":
+        return CodecConfig("wav2vec2", 2, 2, 640)
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return self.audio_alignment * self.vq_groups
+
+
+@dataclass
+class FrontendConfig:
+    """Video/landmark frontend (reference conv3d stem: LRW/video/src/lightning.py:49-55)."""
+
+    kind: str = "landmark"  # "landmark" | "conv3d_resnet" | "conv1d_resnet"
+    input_features: int = 1434      # landmark: 478*3 flattened
+    stem_channels: int = 64
+    resnet_width: int = 64
+    out_dim: int = 512
+    relu_type: str = "swish"
+
+
+@dataclass
+class EncoderConfig:
+    """Sequence encoder settings shared by transformer/conformer/dense_tcn."""
+
+    kind: str = "transformer"  # "transformer" | "conformer" | "dense_tcn"
+    layers: int = 8
+    dim: int = 320
+    heads: int = 4
+    hidden_ratio: float = 4.0
+    # transformer flavour (x-transformers style in reference: rmsnorm+glu+rope,
+    # LRW/video/src/lightning.py:93-105)
+    use_rmsnorm: bool = False
+    use_glu: bool = False
+    rope: bool = True
+    emb_dropout: float = 0.1
+    msa_dropout: float = 0.1
+    mlp_dropout: float = 0.1
+    droppath: float = 0.1
+    # conformer flavour (LRS/video/config/lrs3.yaml model.visual_backbone)
+    macaron: bool = True
+    conv_kernel: int = 31
+    rel_pos: bool = True
+    # dense_tcn flavour
+    tcn_kernel_sizes: Tuple[int, ...] = (3, 5, 7)
+    tcn_dilations: Tuple[int, ...] = (1, 2, 5)
+    tcn_growth_rates: Tuple[int, ...] = (384, 384, 384, 384)
+    tcn_blocks: Tuple[int, ...] = (3, 3, 3, 3)
+    tcn_reduced_size: int = 512
+    tcn_se: bool = True
+
+
+@dataclass
+class DecoderConfig:
+    """Attention decoder (reference: lrs3.yaml ddim=768, dheads=12, dunits=3072, dlayers=6)."""
+
+    layers: int = 6
+    dim: int = 768
+    heads: int = 12
+    hidden: int = 3072
+    dropout: float = 0.1
+
+
+@dataclass
+class ModelConfig:
+    task: str = "word"  # "word" | "sentence"
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    codec: CodecConfig = field(default_factory=CodecConfig)
+    labels: int = 500               # word classes, or token vocab for sentence
+    use_word_boundary: bool = False
+    # sentence-level loss algebra (e2e_asr_transformer.py:218-221)
+    mtlalpha: float = 0.1
+    lsm_weight: float = 0.1
+    # shared
+    label_smoothing: float = 0.0
+    sync_lambda: float = 10.0
+    dtype: str = "bfloat16"         # compute dtype; params stay float32
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "synthetic"      # "lrw" | "lrw_landmark" | "lrs2" | "lrs3" | "synthetic"
+    root: str = "/data"
+    batch_size: int = 16
+    eval_batch_size: int = 16
+    num_frames: int = 29            # LRW clips are 29 frames
+    crop_size: int = 96
+    max_frames: int = 1800          # lrs3.yaml:8
+    max_frames_val: int = 500
+    max_label_len: int = 128
+    mean: float = 0.421             # LRW/video/src/data.py:146
+    std: float = 0.165
+    # augmentation (train pipeline LRW/video/src/data.py:150-167)
+    use_cutmix: bool = True
+    cutmix_alpha: float = 1.0
+    hflip_prob: float = 0.5
+    rrc_scale: Tuple[float, float] = (0.6, 1.0)
+    time_mask_window: int = 15      # int(0.6 * 25) frames
+    time_mask_stride: int = 1
+    adaptive_time_mask: bool = True
+    num_workers: int = 0
+    # length bucketing for sentence-level (replaces dynamic shapes under XLA)
+    length_buckets: Tuple[int, ...] = (160, 320, 640, 1200, 1800)
+    spm_vocab: str = ""
+
+
+@dataclass
+class OptimConfig:
+    lr: float = 1e-3
+    b1: float = 0.9
+    b2: float = 0.98
+    eps: float = 1e-6
+    weight_decay: float = 0.03
+    clip_norm: float = 5.0
+    warmup_steps: int = 25_000
+    total_steps: int = 500_000
+    init_lr: float = 1e-6
+    end_lr: float = 1e-5
+    accum_steps: int = 1
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh. Word/sentence parity needs only a data axis; model axes are
+    available for larger configs (tensor-sharded encoder/decoder matmuls)."""
+
+    data: int = -1                  # -1: all remaining devices
+    model: int = 1
+
+
+@dataclass
+class TrainConfig:
+    seed: int = 0
+    mixup_seed: int = 1
+    dropout_seed: int = 2
+    epochs: int = 100
+    log_every: int = 50
+    eval_every: int = 1000
+    ckpt_every: int = 1000
+    ckpt_dir: str = "ckpt"
+    resume: str = ""
+    pretrained: str = ""
+    wandb: bool = False
+    remat: bool = False
+    donate: bool = True
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    name: str = "run"
+
+    # -- serialization ------------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Config":
+        return _build(Config, d)
+
+    def override(self, **dotted: Any) -> "Config":
+        """Return a new config with dotted-key overrides applied."""
+        d = self.to_dict()
+        for key, value in dotted.items():
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = value
+        return Config.from_dict(d)
+
+
+def _build(cls, d: dict):
+    known = {f.name for f in fields(cls)}
+    unknown = set(d) - known
+    if unknown:
+        raise KeyError(f"unknown config key(s) for {cls.__name__}: {sorted(unknown)}; "
+                       f"valid keys: {sorted(known)}")
+    kwargs = {}
+    for f in fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = _build(f.type, v)
+        elif isinstance(v, dict):
+            # typing gives string annotations; resolve known sub-configs
+            sub = _SUBCONFIGS.get(f.name)
+            kwargs[f.name] = _build(sub, v) if sub else v
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_SUBCONFIGS = {
+    "model": ModelConfig,
+    "data": DataConfig,
+    "optim": OptimConfig,
+    "mesh": MeshConfig,
+    "train": TrainConfig,
+    "frontend": FrontendConfig,
+    "encoder": EncoderConfig,
+    "decoder": DecoderConfig,
+    "codec": CodecConfig,
+}
+
+
+def parse_cli_overrides(args: Sequence[str]) -> dict:
+    """Parse ``a.b.c=value`` CLI args; values are parsed as JSON when possible."""
+    out = {}
+    for a in args:
+        if "=" not in a:
+            raise ValueError(f"override must look like key=value, got {a!r}")
+        k, v = a.split("=", 1)
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Workload presets mirroring the reference's published configs
+# ---------------------------------------------------------------------------
+
+def lrw_landmark_config() -> Config:
+    """LRW landmark TPU recipe (LRW/landmark/config/*.sh: 8L x 320d, 4 heads,
+    bs 1024, lr 1e-3, wd 0.05)."""
+    c = Config(name="lrw_landmark")
+    c.model.task = "word"
+    c.model.frontend = FrontendConfig(kind="landmark", input_features=1434)
+    c.model.encoder = EncoderConfig(kind="transformer", layers=8, dim=320, heads=4)
+    c.model.codec = CodecConfig.vq()
+    c.model.labels = 500
+    c.model.sync_lambda = 10.0
+    c.data.batch_size = 1024
+    c.optim = OptimConfig(lr=1e-3, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.05,
+                          clip_norm=1.0, warmup_steps=0, total_steps=0)
+    return c
+
+
+def lrw_video_config() -> Config:
+    """LRW video recipe (bert-12l-512d yaml: 12L x 512d, 8 heads, RoPE, RMSNorm,
+    GLU; AdamW lr 1e-4, 270k steps / 15k warmup, bs 96, lambda=10)."""
+    c = Config(name="lrw_video")
+    c.model.task = "word"
+    c.model.frontend = FrontendConfig(kind="conv3d_resnet", out_dim=512)
+    c.model.encoder = EncoderConfig(
+        kind="transformer", layers=12, dim=512, heads=8,
+        use_rmsnorm=True, use_glu=True, rope=True, droppath=0.0)
+    c.model.codec = CodecConfig.vq()
+    c.model.labels = 500
+    c.model.sync_lambda = 10.0
+    c.model.use_word_boundary = True
+    c.data.batch_size = 96
+    c.optim = OptimConfig(lr=1e-4, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+                          clip_norm=1.0, warmup_steps=15_000, total_steps=270_000)
+    return c
+
+
+def lrw_dctcn_config() -> Config:
+    """LRW DC-TCN recipe (dc-tcn-base.yaml). Fixes the reference's unset
+    ``vq_groups`` bug (LRW/video/src/lightning.py:247) by taking it from codec."""
+    c = lrw_video_config()
+    c.name = "lrw_dctcn"
+    c.model.encoder.kind = "dense_tcn"
+    c.model.use_word_boundary = True
+    return c
+
+
+def lrs3_config() -> Config:
+    """LRS3 sentence recipe (lrs3.yaml: conformer 12L x 768d, 12 heads, k=31;
+    decoder 6L; mtlalpha 0.1; audio_weight 10; 500k steps / 25k warmup, bs 16)."""
+    c = Config(name="lrs3")
+    c.model.task = "sentence"
+    c.model.frontend = FrontendConfig(kind="conv3d_resnet", out_dim=512)
+    c.model.encoder = EncoderConfig(
+        kind="conformer", layers=12, dim=768, heads=12, hidden_ratio=4.0,
+        macaron=True, conv_kernel=31, rel_pos=True,
+        emb_dropout=0.1, msa_dropout=0.1, mlp_dropout=0.1, droppath=0.0)
+    c.model.decoder = DecoderConfig(layers=6, dim=768, heads=12, hidden=3072)
+    c.model.codec = CodecConfig.vq()
+    c.model.labels = 5049  # <blank> + 5047 units + <eos> (SURVEY §3.3)
+    c.model.mtlalpha = 0.1
+    c.model.lsm_weight = 0.1
+    c.model.sync_lambda = 10.0
+    c.data.batch_size = 16
+    c.optim = OptimConfig(lr=1e-3, b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.03,
+                          clip_norm=5.0, warmup_steps=25_000, total_steps=500_000)
+    return c
+
+
+def lrs2_config() -> Config:
+    """LRS2 variant (lrs2.yaml: 450k steps / 15k warmup)."""
+    c = lrs3_config()
+    c.name = "lrs2"
+    c.optim.total_steps = 450_000
+    c.optim.warmup_steps = 15_000
+    return c
+
+
+PRESETS = {
+    "lrw_landmark": lrw_landmark_config,
+    "lrw_video": lrw_video_config,
+    "lrw_dctcn": lrw_dctcn_config,
+    "lrs3": lrs3_config,
+    "lrs2": lrs2_config,
+}

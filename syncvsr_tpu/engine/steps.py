@@ -1,0 +1,88 @@
+"""Jitted train/eval step builders over a device mesh.
+
+The reference's pmap steps (LRW/landmark/src/training.py:98-124) become single
+jit programs: the batch is sharded over the mesh's ``data`` axis, parameters
+are replicated, and the gradient all-reduce is inserted by XLA (no explicit
+``lax.pmean``). The train-state input buffer is donated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from syncvsr_tpu.engine.state import TrainState, current_lr
+
+
+def build_train_step(mesh: Optional[Mesh] = None, donate: bool = True,
+                     aug_fn: Optional[Callable] = None) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    ``aug_fn(rng, batch) -> batch`` runs on-device inside the compiled step
+    (image augmentation for the video stacks)."""
+
+    def train_step(state: TrainState, batch: Dict[str, Any]):
+        mixup_rng, new_mixup_rng = jax.random.split(state.mixup_rng)
+        dropout_rng, new_dropout_rng = jax.random.split(state.dropout_rng)
+        if aug_fn is not None:
+            aug_rng, mixup_rng = jax.random.split(mixup_rng)
+            batch = aug_fn(aug_rng, batch)
+        rngs = {"mixup": mixup_rng, "dropout": dropout_rng}
+        has_bn = bool(state.batch_stats)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            out = state.apply_fn(variables, **batch, det=False, rngs=rngs,
+                                 mutable=["batch_stats"] if has_bn else False)
+            metrics, mutated = out if has_bn else (out, {})
+            return metrics["loss"], (metrics, mutated)
+
+        (_, (metrics, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        state = state.apply_gradients(
+            grads=grads,
+            mixup_rng=new_mixup_rng,
+            dropout_rng=new_dropout_rng,
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+        )
+        metrics = dict(metrics, learning_rate=current_lr(state),
+                       grad_norm=optax_global_norm(grads))
+        return state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate_argnums)
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        train_step,
+        donate_argnums=donate_argnums,
+        in_shardings=(repl, batch_sh),
+        out_shardings=(repl, repl),
+    )
+
+
+def build_eval_step(mesh: Optional[Mesh] = None) -> Callable:
+    def eval_step(state: TrainState, batch: Dict[str, Any]):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return state.apply_fn(variables, **batch, det=True)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(eval_step, in_shardings=(repl, batch_sh), out_shardings=repl)
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))

@@ -1,0 +1,94 @@
+"""Input frontends mapping raw modalities to [B, T, D] sequences.
+
+* ``Conv3DResNetFrontend``: 3D conv stem + ResNet-18 trunk over 96x96 mouth
+  crops (reference LRW/video/src/lightning.py:49-55 and espnet
+  conv3d_extractor.py:19-48). Videos arrive channels-last [B, T, H, W, 1]
+  (uint8 or float); the stem runs in compute dtype.
+* ``LandmarkFrontend``: per-frame linear token embedding of flattened facial
+  landmarks (reference LRW/landmark/src/modeling.py:115 — a 1x1 conv).
+* ``Conv1DResNetFrontend``: raw-audio ResNet1D (espnet conv1d_extractor.py:13-33),
+  the audio-modality option.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from syncvsr_tpu.models.layers import activation, trunc_normal
+from syncvsr_tpu.models.resnet import ResNet1D, ResNetTrunk
+
+Array = jax.Array
+
+
+class Conv3DResNetFrontend(nn.Module):
+    stem_channels: int = 64
+    width: int = 64
+    relu_type: str = "swish"
+    stem_act: str = "gelu"   # LRW stem uses GELU (lightning.py:52)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, videos: Array, train: bool = False) -> Array:
+        # videos: [B, T, H, W, C]; normalize handled upstream (data/image ops)
+        x = videos.astype(self.dtype)
+        # Conv3D 1->64, kernel (5,7,7), stride (1,2,2), pad (2,3,3)
+        x = nn.Conv(self.stem_channels, (5, 7, 7), (1, 2, 2),
+                    padding=((2, 2), (3, 3), (3, 3)), use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="stem_bn")(x)
+        x = activation(self.stem_act)(x)
+        # MaxPool3D (1,3,3) stride (1,2,2) pad (0,1,1)
+        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), padding=((0, 0), (1, 1), (1, 1)))
+        b, t, h, w, c = x.shape
+        x = x.reshape(b * t, h, w, c)
+        x = ResNetTrunk(self.width, relu_type=self.relu_type, dtype=self.dtype,
+                        name="resnet")(x, train)
+        return x.reshape(b, t, -1)
+
+
+class LandmarkFrontend(nn.Module):
+    dim: int = 320
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, landmarks: Array, train: bool = False) -> Array:
+        # landmarks: [B, T, F] with pad sentinel -100 already zeroed upstream
+        return nn.Dense(self.dim, kernel_init=trunc_normal(), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="wte")(landmarks.astype(self.dtype))
+
+
+class Conv1DResNetFrontend(nn.Module):
+    width: int = 64
+    relu_type: str = "swish"
+    a_upsample_ratio: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio: Array, train: bool = False) -> Array:
+        # audio: [B, S] or [B, S, 1] raw 16 kHz waveform; truncate to //640
+        if audio.ndim == 2:
+            audio = audio[..., None]
+        s = (audio.shape[1] // 640) * 640
+        return ResNet1D(self.width, relu_type=self.relu_type,
+                        a_upsample_ratio=self.a_upsample_ratio, dtype=self.dtype,
+                        name="resnet1d")(audio[:, :s].astype(self.dtype), train)
+
+
+def build_frontend(cfg, dtype, embed_dim: int = 0, name: str = "frontend") -> nn.Module:
+    """Construct the frontend named ``name``; ``embed_dim`` sets the landmark
+    embedding width (other frontends have intrinsic output widths)."""
+    if cfg.kind == "landmark":
+        return LandmarkFrontend(dim=embed_dim or cfg.out_dim, dtype=dtype, name=name)
+    if cfg.kind == "conv3d_resnet":
+        return Conv3DResNetFrontend(stem_channels=cfg.stem_channels,
+                                    width=cfg.resnet_width,
+                                    relu_type=cfg.relu_type, dtype=dtype, name=name)
+    if cfg.kind == "conv1d_resnet":
+        return Conv1DResNetFrontend(width=cfg.resnet_width, relu_type=cfg.relu_type,
+                                    dtype=dtype, name=name)
+    raise ValueError(f"unknown frontend kind: {cfg.kind}")

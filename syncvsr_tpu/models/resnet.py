@@ -1,0 +1,129 @@
+"""Flax ResNet-18 trunks (2D per-frame, 1D audio) for the video/audio frontends.
+
+Re-designs the reference's torch ResNets (LRW/video/src/tcn/models/resnet.py:75,
+espnet backbones/modules/resnet.py:177, resnet1d.py:213) channels-last (NHWC /
+NWC) so XLA maps the convs straight onto the MXU. BatchNorm statistics are
+computed over the *global* (mesh-sharded) batch: under jit + NamedSharding the
+batch-axis reduction is a global reduction, which gives the reference's
+``sync_batchnorm: True`` (lrs3.yaml:95) for free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from syncvsr_tpu.models.layers import activation
+
+Array = jax.Array
+
+
+class BasicBlock(nn.Module):
+    channels: int
+    stride: int = 1
+    relu_type: str = "swish"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        act = activation(self.relu_type)
+        conv = lambda c, s, name: nn.Conv(c, (3, 3), (s, s), padding=1, use_bias=False,
+                                          dtype=self.dtype, param_dtype=jnp.float32,
+                                          name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       dtype=self.dtype, param_dtype=jnp.float32,
+                                       name=name)
+        residual = x
+        y = act(bn("bn1")(conv(self.channels, self.stride, "conv1")(x)))
+        y = bn("bn2")(conv(self.channels, 1, "conv2")(y))
+        if self.stride != 1 or x.shape[-1] != self.channels:
+            residual = nn.Conv(self.channels, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                               name="downsample_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    dtype=self.dtype, param_dtype=jnp.float32,
+                                    name="downsample_bn")(residual)
+        return act(y + residual)
+
+
+class ResNetTrunk(nn.Module):
+    """layer1..layer4 of ResNet-18 (stems live in the frontends). Input
+    [N, H, W, C_in]; output [N, 512*width/64] after global average pooling."""
+
+    width: int = 64
+    blocks: Sequence[int] = (2, 2, 2, 2)
+    relu_type: str = "swish"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for i, n in enumerate(self.blocks):
+            channels = self.width * (2 ** i)
+            for j in range(n):
+                stride = 2 if (i > 0 and j == 0) else 1
+                x = BasicBlock(channels, stride, self.relu_type, self.dtype,
+                               name=f"layer{i + 1}_{j}")(x, train)
+        return jnp.mean(x, axis=(1, 2))
+
+
+class BasicBlock1D(nn.Module):
+    channels: int
+    stride: int = 1
+    relu_type: str = "swish"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        act = activation(self.relu_type)
+        conv = lambda c, k, s, name: nn.Conv(c, (k,), (s,), padding="SAME", use_bias=False,
+                                             dtype=self.dtype, param_dtype=jnp.float32,
+                                             name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       dtype=self.dtype, param_dtype=jnp.float32,
+                                       name=name)
+        residual = x
+        y = act(bn("bn1")(conv(self.channels, 3, self.stride, "conv1")(x)))
+        y = bn("bn2")(conv(self.channels, 3, 1, "conv2")(y))
+        if self.stride != 1 or x.shape[-1] != self.channels:
+            residual = nn.Conv(self.channels, (1,), (self.stride,), use_bias=False,
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name="downsample_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    dtype=self.dtype, param_dtype=jnp.float32,
+                                    name="downsample_bn")(residual)
+        return act(y + residual)
+
+
+class ResNet1D(nn.Module):
+    """Raw-audio 1-D ResNet-18 (reference resnet1d.py: conv1 k=80 s=4 then four
+    stages, final average pooling of 20 samples to land on ~25 fps)."""
+
+    width: int = 64
+    blocks: Sequence[int] = (2, 2, 2, 2)
+    relu_type: str = "swish"
+    a_upsample_ratio: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        # x: [B, S, 1] raw waveform
+        act = activation(self.relu_type)
+        x = nn.Conv(self.width, (80,), (4,), padding="SAME", use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="stem_bn")(x)
+        x = act(x)
+        for i, n in enumerate(self.blocks):
+            channels = self.width * (2 ** i)
+            for j in range(n):
+                stride = 2 if (i > 0 and j == 0) else 1
+                x = BasicBlock1D(channels, stride, self.relu_type, self.dtype,
+                                 name=f"layer{i + 1}_{j}")(x, train)
+        # 16 kHz / 4 / 8 = 500 Hz; pool 20//ratio to reach 25*ratio fps
+        pool = 20 // self.a_upsample_ratio
+        b, s, c = x.shape
+        x = x[:, : (s // pool) * pool].reshape(b, s // pool, pool, c).mean(axis=2)
+        return x

@@ -1,0 +1,166 @@
+"""Word-level VSR task module: frontend + encoder + word/sync heads + loss.
+
+One module serves the reference's three word-level stacks:
+  * landmark transformer (LRW/landmark/src/training.py:36-84, modeling.py:113-136)
+  * video transformer (LRW/video/src/lightning.py:36-223)
+  * DC-TCN (LRW/video/src/lightning.py:226-334) via ``encoder.kind=dense_tcn``
+
+Loss algebra (shared): word CE (optionally label-smoothed, soft under CutMix)
++ sync_lambda * per-frame audio-token CE. CutMix runs *inside* the jitted step
+using the "mixup" RNG stream.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from syncvsr_tpu.config import ModelConfig
+from syncvsr_tpu.models.dense_tcn import DenseTCN
+from syncvsr_tpu.models.frontend import build_frontend
+from syncvsr_tpu.models.layers import trunc_normal
+from syncvsr_tpu.models.transformer import TransformerEncoder
+from syncvsr_tpu.ops.cutmix import temporal_cutmix
+from syncvsr_tpu.ops.sync_loss import sync_cross_entropy
+
+Array = jax.Array
+
+
+def smooth_labels(onehot: Array, smoothing: float) -> Array:
+    if smoothing == 0.0:
+        return onehot
+    n = onehot.shape[-1]
+    return onehot * (1.0 - smoothing) + smoothing / n
+
+
+class SyncHead(nn.Module):
+    """Per-frame audio-token head. Holds the raw projection so the fused
+    chunked-CE op can consume kernel/bias directly."""
+
+    alignment: int
+    groups: int
+    vocab: int
+
+    @nn.compact
+    def loss(self, features: Array, tokens: Array, chunk: Optional[int] = None) -> Array:
+        out = self.alignment * self.groups * self.vocab
+        kernel = self.param("kernel", trunc_normal(), (features.shape[-1], out))
+        bias = self.param("bias", nn.initializers.zeros, (out,))
+        return sync_cross_entropy(features, kernel, bias, tokens,
+                                  self.alignment, self.groups, self.vocab,
+                                  chunk=chunk)
+
+    def __call__(self, features: Array, tokens: Array, chunk: Optional[int] = None) -> Array:
+        return self.loss(features, tokens, chunk)
+
+
+class WordVSRModel(nn.Module):
+    cfg: ModelConfig
+    cutmix_alpha: float = 1.0
+    use_cutmix: bool = True
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.cfg.dtype)
+
+    @nn.compact
+    def __call__(self, inputs: Array, labels: Array, audio_tokens: Array,
+                 word_mask: Optional[Array] = None, det: bool = True) -> Dict[str, Array]:
+        cfg = self.cfg
+        enc = cfg.encoder
+        codec = cfg.codec
+        dtype = self.dtype
+
+        # landmark pad sentinel (-100) -> 0 (LRW/landmark/src/training.py:52)
+        if inputs.ndim == 3:
+            inputs = jnp.where(inputs == -100.0, 0.0, inputs)
+
+        onehot = nn.one_hot(labels, cfg.labels) if labels.ndim == 1 else labels
+        # truncate tokens to the temporally aligned window before any mixing
+        # (reference training.py:54)
+        t_in = inputs.shape[1]
+        audio_tokens = audio_tokens[:, : t_in * codec.audio_alignment]
+        if not det:
+            onehot = smooth_labels(onehot, cfg.label_smoothing)
+            if self.use_cutmix and self.cutmix_alpha > 0:
+                inputs, onehot, audio_tokens, word_mask = temporal_cutmix(
+                    self.make_rng("mixup"), inputs, onehot, audio_tokens,
+                    word_mask, self.cutmix_alpha)
+
+        frontend = build_frontend(cfg.frontend, dtype, embed_dim=enc.dim,
+                                  name="frontend")
+        hidden = frontend(inputs, train=not det)  # [B, T, D]
+        if hidden.shape[-1] != enc.dim:
+            hidden = nn.Dense(enc.dim, kernel_init=trunc_normal(), dtype=dtype,
+                              param_dtype=jnp.float32, name="frontend_proj")(hidden)
+
+        if enc.kind == "dense_tcn":
+            return self._dense_tcn_path(hidden, onehot, audio_tokens, word_mask, det)
+
+        # word-boundary channel widens the stream by 1 (modeling.py:44-48)
+        if cfg.use_word_boundary:
+            assert word_mask is not None
+            hidden = jnp.concatenate(
+                (hidden, word_mask[:, :, None].astype(dtype)), axis=-1)
+        dim_backbone = hidden.shape[-1]
+
+        cls = self.param("cls_token", trunc_normal(), (1, 1, dim_backbone))
+        if cfg.use_word_boundary:
+            cls = cls.at[:, :, -1].set(0.0)  # CLS carries no boundary bit
+        b, t = hidden.shape[0], hidden.shape[1]
+        hidden = jnp.concatenate(
+            (jnp.broadcast_to(cls.astype(dtype), (b, 1, dim_backbone)), hidden), axis=1)
+        hidden = nn.Dropout(enc.emb_dropout)(hidden, deterministic=det)
+
+        encoded = TransformerEncoder(
+            layers=enc.layers, dim=enc.dim, heads=enc.heads,
+            hidden=int(enc.hidden_ratio * enc.dim),
+            use_rmsnorm=enc.use_rmsnorm, use_glu=enc.use_glu, rope=enc.rope,
+            msa_dropout=enc.msa_dropout, mlp_dropout=enc.mlp_dropout,
+            droppath=enc.droppath, dtype=dtype, name="encoder")(hidden, det=det)
+
+        logits = nn.Dense(cfg.labels, kernel_init=trunc_normal(), dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="category_classifier")(
+                              encoded[:, 0].astype(jnp.float32))
+        loss_word = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1))
+
+        sync = SyncHead(codec.audio_alignment, codec.vq_groups,
+                        codec.audio_vocab_size, name="audio_classifier")
+        loss_audio = sync(encoded[:, 1:].astype(jnp.float32), audio_tokens)
+
+        loss = loss_word + cfg.sync_lambda * loss_audio
+        hard = jnp.argmax(onehot, axis=-1)
+        acc1 = (jnp.argmax(logits, axis=-1) == hard).mean()
+        acc5 = (jax.lax.top_k(logits, k=5)[1] == hard[:, None]).any(axis=1).mean()
+        return {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
+                "acc1": acc1, "acc5": acc5}
+
+    def _dense_tcn_path(self, hidden, onehot, audio_tokens, word_mask, det):
+        cfg = self.cfg
+        enc = cfg.encoder
+        codec = cfg.codec
+        dtype = self.dtype
+        if cfg.use_word_boundary and word_mask is not None:
+            hidden = jnp.concatenate(
+                (hidden, word_mask[:, :, None].astype(dtype)), axis=-1)
+        feats = DenseTCN(
+            growth_rates=enc.tcn_growth_rates, blocks=enc.tcn_blocks,
+            kernel_sizes=enc.tcn_kernel_sizes, dilations=enc.tcn_dilations,
+            reduced_size=enc.tcn_reduced_size, use_se=enc.tcn_se,
+            dtype=dtype, name="encoder")(hidden, train=not det)  # [B, T, C]
+        pooled = feats.mean(axis=1).astype(jnp.float32)
+        logits = nn.Dense(cfg.labels, kernel_init=trunc_normal(), dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="category_classifier")(pooled)
+        loss_word = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1))
+        sync = SyncHead(codec.audio_alignment, codec.vq_groups,
+                        codec.audio_vocab_size, name="audio_classifier")
+        loss_audio = sync(feats.astype(jnp.float32), audio_tokens)
+        loss = loss_word + cfg.sync_lambda * loss_audio
+        hard = jnp.argmax(onehot, axis=-1)
+        acc1 = (jnp.argmax(logits, axis=-1) == hard).mean()
+        acc5 = (jax.lax.top_k(logits, k=5)[1] == hard[:, None]).any(axis=1).mean()
+        return {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
+                "acc1": acc1, "acc5": acc5}

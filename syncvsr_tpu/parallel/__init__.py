@@ -1,0 +1,9 @@
+"""Device-mesh construction and sharding helpers (jit + NamedSharding SPMD)."""
+
+from syncvsr_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    create_mesh,
+    host_local_batch,
+    replicated,
+    shard_batch,
+)

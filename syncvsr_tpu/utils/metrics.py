@@ -1,0 +1,69 @@
+"""Metric aggregation and logging.
+
+AverageMeter mirrors the reference (LRW/landmark/src/main.py:29-45: running
+averages, ``use_latest`` keys like learning_rate reported as-is). The logger
+writes JSONL to disk and optionally W&B when available and enabled.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import defaultdict
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+
+class AverageMeter:
+    def __init__(self, use_latest: Iterable[str] = ("learning_rate",)):
+        self.buffer = defaultdict(list)
+        self.use_latest = set(use_latest)
+
+    def update(self, metrics: Dict[str, Any]):
+        for k, v in metrics.items():
+            self.buffer[k].append(np.asarray(v))
+
+    def summary(self, prefix: str = "") -> Dict[str, float]:
+        out = {}
+        for k, vs in self.buffer.items():
+            v = vs[-1] if k in self.use_latest else np.mean([np.mean(x) for x in vs])
+            out[f"{prefix}{k}"] = float(v)
+        self.buffer.clear()
+        return out
+
+
+class MetricLogger:
+    """JSONL + optional W&B sink (reference logs everything to W&B:
+    LRW/video/src/train.py:35-38)."""
+
+    def __init__(self, path: Optional[str] = None, use_wandb: bool = False,
+                 project: str = "syncvsr_tpu", name: str = "run",
+                 config: Optional[dict] = None):
+        self.path = path
+        self.fh = open(path, "a") if path else None
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=project, name=name, config=config or {})
+            except Exception:
+                self.wandb = None
+
+    def log(self, metrics: Dict[str, float], step: int):
+        record = {"step": step, "time": time.time(), **metrics}
+        if self.fh:
+            self.fh.write(json.dumps(record) + "\n")
+            self.fh.flush()
+        if self.wandb:
+            self.wandb.log(metrics, step=step)
+        return record
+
+    def close(self):
+        if self.fh:
+            self.fh.close()
+        if self.wandb:
+            self.wandb.finish()
