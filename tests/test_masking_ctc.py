@@ -1,0 +1,124 @@
+"""CTC loss vs brute-force DP; label smoothing, sos/eos, greedy decode."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syncvsr_tpu.ops.ctc import ctc_greedy_decode, ctc_loss
+from syncvsr_tpu.ops.masking import (
+    add_sos_eos,
+    decoder_accuracy,
+    label_smoothing_kl,
+    length_mask,
+)
+
+
+def brute_force_ctc_nll(log_probs, label, blank=0):
+    """Sum probability over all alignments by enumeration (tiny T only)."""
+    t, v = log_probs.shape
+    total = 0.0
+    for path in itertools.product(range(v), repeat=t):
+        # collapse path
+        collapsed = []
+        prev = None
+        for s in path:
+            if s != blank and s != prev:
+                collapsed.append(s)
+            prev = s
+        if collapsed == list(label):
+            total += np.exp(sum(log_probs[i, s] for i, s in enumerate(path)))
+    return -np.log(total)
+
+
+def test_ctc_matches_brute_force():
+    rng = np.random.RandomState(0)
+    t, v = 4, 3
+    logits = rng.randn(1, t, v).astype(np.float32)
+    label = [1, 2]
+    loss = ctc_loss(jnp.asarray(logits), jnp.asarray([t]),
+                    jnp.asarray([label]), jnp.asarray([2]))
+    log_probs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits[0]), axis=-1))
+    expected = brute_force_ctc_nll(log_probs, label)
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-4)
+
+
+def test_ctc_respects_lengths():
+    rng = np.random.RandomState(1)
+    logits = rng.randn(1, 6, 4).astype(np.float32)
+    # padding frames beyond length 4 must not change the loss
+    l1 = ctc_loss(jnp.asarray(logits), jnp.asarray([4]),
+                  jnp.asarray([[1, 2, -1]]), jnp.asarray([2]))
+    logits2 = logits.copy()
+    logits2[0, 4:] = 123.0
+    l2 = ctc_loss(jnp.asarray(logits2), jnp.asarray([4]),
+                  jnp.asarray([[1, 2, -1]]), jnp.asarray([2]))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_greedy_decode_collapse():
+    # path: [1 1 0 2 2 0 1] -> [1, 2, 1]
+    v = 4
+    path = np.array([1, 1, 0, 2, 2, 0, 1])
+    logits = np.full((1, len(path), v), -10.0, np.float32)
+    logits[0, np.arange(len(path)), path] = 10.0
+    toks, lens = ctc_greedy_decode(jnp.asarray(logits), jnp.asarray([len(path)]))
+    assert int(lens[0]) == 3
+    assert np.asarray(toks)[0, :3].tolist() == [1, 2, 1]
+    assert (np.asarray(toks)[0, 3:] == -1).all()
+
+
+def test_add_sos_eos():
+    labels = jnp.asarray([[3, 4, -1, -1], [5, 6, 7, 8]])
+    ys_in, ys_out, lens = add_sos_eos(labels, sos=9, eos=9, ignore_id=-1)
+    assert ys_in.shape == (2, 5) and ys_out.shape == (2, 5)
+    assert np.asarray(ys_in)[0].tolist() == [9, 3, 4, 9, 9]
+    assert np.asarray(ys_out)[0].tolist() == [3, 4, 9, -1, -1]
+    assert np.asarray(ys_in)[1].tolist() == [9, 5, 6, 7, 8]
+    assert np.asarray(ys_out)[1].tolist() == [5, 6, 7, 8, 9]
+    assert np.asarray(lens).tolist() == [3, 5]
+
+
+def test_label_smoothing_matches_direct():
+    rng = np.random.RandomState(2)
+    b, l, v = 2, 3, 5
+    logits = jnp.asarray(rng.randn(b, l, v), jnp.float32)
+    targets = jnp.asarray([[1, 2, -1], [3, 0, 4]])
+    smoothing = 0.1
+    got = label_smoothing_kl(logits, targets, v, smoothing)
+
+    # direct KL computation
+    conf, low = 1 - smoothing, smoothing / (v - 1)
+    logq = np.asarray(jax.nn.log_softmax(logits, -1)).reshape(-1, v)
+    t = np.asarray(targets).reshape(-1)
+    total = 0.0
+    for i, ti in enumerate(t):
+        if ti == -1:
+            continue
+        p = np.full(v, low)
+        p[ti] = conf
+        total += float((p * (np.log(p) - logq[i])).sum())
+    np.testing.assert_allclose(float(got), total / b, rtol=1e-5)
+
+    # smoothing=0 reduces to CE/batch
+    got0 = label_smoothing_kl(logits, targets, v, 0.0)
+    ce = 0.0
+    for i, ti in enumerate(t):
+        if ti != -1:
+            ce += -logq[i, ti]
+    np.testing.assert_allclose(float(got0), ce / b, rtol=1e-5)
+
+
+def test_decoder_accuracy():
+    logits = jnp.asarray(np.eye(4)[None, [1, 2, 3]], jnp.float32)  # predicts 1,2,3
+    targets = jnp.asarray([[1, 2, -1]])
+    acc = decoder_accuracy(logits, targets)
+    np.testing.assert_allclose(float(acc), 1.0)
+
+
+def test_length_mask():
+    m = length_mask(jnp.asarray([2, 0, 3]), 3)
+    assert np.asarray(m).tolist() == [[True, True, False],
+                                      [False, False, False],
+                                      [True, True, True]]
