@@ -1,0 +1,55 @@
+"""High-level decoding entry points over a trained SentenceVSRModel."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from syncvsr_tpu.decode.beam_search import BeamSearchConfig, beam_search
+from syncvsr_tpu.ops.ctc import ctc_greedy_decode
+
+Array = jax.Array
+
+
+def make_beam_decoder(model, variables: Dict[str, Any],
+                      config: BeamSearchConfig,
+                      max_len: Optional[int] = None):
+    """Builds a jitted single-utterance decoder.
+
+    Returns fn(videos [1, T, ...], length) -> (tokens [L], n_tokens, score),
+    mirroring the reference's per-utterance test loop
+    (LRS/video/lightning.py:114-129) but fully compiled.
+    """
+    vocab = model.cfg.labels
+
+    def decoder_step(y_prev, pos, cache, memory, memory_mask):
+        return model.apply(variables, y_prev, pos, cache, memory, memory_mask,
+                           method="decoder_step")
+
+    def init_cache(w, l):
+        return model.apply(variables, w, l, method="decoder_init_cache")
+
+    @jax.jit
+    def decode(videos: Array, length: Array) -> Tuple[Array, Array, Array]:
+        enc = model.apply(variables, videos, length[None], det=True,
+                          method="encode")[0]              # [T, D]
+        ctc_logp = model.apply(variables, enc[None], method="ctc_log_probs")[0]
+        return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
+                           vocab, config, max_len=max_len)
+
+    return decode
+
+
+def make_greedy_ctc_decoder(model, variables: Dict[str, Any]):
+    """Batched greedy CTC decoding (no decoder/LM) — the fast path."""
+
+    @jax.jit
+    def decode(videos: Array, lengths: Array) -> Tuple[Array, Array]:
+        enc = model.apply(variables, videos, lengths, det=True, method="encode")
+        ctc_logp = model.apply(variables, enc, method="ctc_log_probs")
+        return ctc_greedy_decode(ctc_logp, lengths)
+
+    return decode

@@ -1,0 +1,165 @@
+"""Jittable hybrid CTC/attention beam search.
+
+Replaces the reference's Python-loop BatchBeamSearch
+(espnet/nets/batch_beam_search.py:12-349, beam_search.py:330-400) with a single
+compiled `lax.fori_loop`: static beam width W, pre-beam P candidates scored by
+the CTC prefix DP, score composition
+    total = w_dec * logp_dec + w_ctc * (psi - s_prev) + penalty + w_lm * logp_lm
+(weights decoder=1-ctc_weight, ctc=ctc_weight, length_bonus=penalty — reference
+LRS/video/lightning.py:237-279), an alive/finished split with 2W candidates per
+step (subsumes espnet's shrink-the-running-set bookkeeping under static
+shapes), and forced eos on the final step (beam_search.py's "add eos in the
+final loop" with maxlenratio=0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from syncvsr_tpu.decode.ctc_prefix import LOGZERO, CTCPrefixScorer, CTCPrefixState
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class BeamSearchConfig:
+    beam_size: int = 40
+    pre_beam_ratio: float = 1.5
+    ctc_weight: float = 0.1
+    lm_weight: float = 0.0
+    penalty: float = 0.0
+    blank: int = 0
+    # sos = eos = vocab - 1 set at call time
+
+    @property
+    def pre_beam_size(self) -> int:
+        return int(self.pre_beam_ratio * self.beam_size)
+
+
+class BeamState(NamedTuple):
+    alive_seq: Array     # [W, L]
+    alive_score: Array   # [W]
+    alive_last: Array    # [W]
+    cache: Any           # decoder KV cache pytree, leading dim W
+    ctc: CTCPrefixState
+    lm_state: Any
+    fin_seq: Array       # [W, L]
+    fin_score: Array     # [W]
+    fin_len: Array       # [W]
+
+
+def beam_search(
+    decoder_step: Callable[[Array, Array, Any, Array, Optional[Array]], Tuple[Array, Any]],
+    init_cache: Callable[[int, int], Any],
+    memory: Array,            # [T, D] encoder output (single utterance)
+    memory_length: Array,     # scalar — valid frames
+    ctc_log_probs: Array,     # [T, V]
+    vocab: int,
+    config: BeamSearchConfig,
+    max_len: Optional[int] = None,
+    lm_step: Optional[Callable] = None,
+    lm_init: Optional[Callable] = None,
+) -> Tuple[Array, Array, Array]:
+    """Returns (best_seq [L] without sos/eos padding -1, best_len, best_score)."""
+    w = config.beam_size
+    p = min(config.pre_beam_size, vocab)
+    t_enc = memory.shape[0]
+    max_len = max_len or t_enc
+    l_max = max_len + 2
+    sos = eos = vocab - 1
+    w_dec = 1.0 - config.ctc_weight
+    w_ctc = config.ctc_weight
+
+    scorer = CTCPrefixScorer(ctc_log_probs, memory_length, config.blank, eos)
+
+    mem = jnp.broadcast_to(memory[None], (w,) + memory.shape)
+    mem_mask = (jnp.arange(t_enc)[None, :] < memory_length)
+    mem_mask = jnp.broadcast_to(mem_mask, (w, t_enc))
+
+    init = BeamState(
+        alive_seq=jnp.full((w, l_max), -1, jnp.int32).at[:, 0].set(sos),
+        alive_score=jnp.full((w,), LOGZERO, jnp.float32).at[0].set(0.0),
+        alive_last=jnp.full((w,), sos, jnp.int32),
+        cache=init_cache(w, l_max),
+        ctc=scorer.init_state(w),
+        lm_state=lm_init(w) if lm_init is not None else None,
+        fin_seq=jnp.full((w, l_max), -1, jnp.int32),
+        fin_score=jnp.full((w,), LOGZERO, jnp.float32),
+        fin_len=jnp.zeros((w,), jnp.int32),
+    )
+
+    def step(i, state: BeamState) -> BeamState:
+        logp_dec, cache = decoder_step(state.alive_last, i, state.cache, mem, mem_mask)
+
+        weighted = w_dec * logp_dec + config.penalty     # [W, V]
+        if lm_step is not None and config.lm_weight != 0.0:
+            logp_lm, lm_state = lm_step(state.alive_last, i, state.lm_state)
+            weighted = weighted + config.lm_weight * logp_lm
+        else:
+            lm_state = state.lm_state
+
+        # pre-beam on decoder scores (lightning.py:279 pre_beam_score_key="decoder")
+        _, part_ids = jax.lax.top_k(logp_dec, p)          # [W, P]
+        log_psi, r_new, _ = scorer.score_partial(state.ctc, state.alive_last,
+                                                 part_ids, i)
+        # dead prefixes (s == LOGZERO, e.g. a hyp that went through blank) must
+        # not bounce back via psi - s telescoping; pin their extensions down
+        valid_prefix = state.ctc.s > 0.5 * LOGZERO
+        inc = jnp.where(valid_prefix[:, None],
+                        w_ctc * (log_psi - state.ctc.s[:, None]), LOGZERO)
+        weighted = weighted.at[jnp.arange(w)[:, None], part_ids].add(inc)
+
+        total = weighted + state.alive_score[:, None]     # [W, V]
+        # final step: only eos extensions allowed
+        is_last = i == max_len - 1
+        eos_only = jnp.full((vocab,), LOGZERO).at[eos].set(0.0)
+        total = jnp.where(is_last, total + eos_only[None, :], total)
+
+        flat = total.reshape(-1)
+        cand_score, cand_flat = jax.lax.top_k(flat, 2 * w)
+        cand_hyp = cand_flat // vocab                     # [2W]
+        cand_tok = cand_flat % vocab
+
+        cand_seq = state.alive_seq[cand_hyp].at[:, i + 1].set(cand_tok)
+        is_eos = cand_tok == eos
+
+        # ---- finished pool: merge current finished with eos candidates ------
+        fin_cand_score = jnp.where(is_eos, cand_score, LOGZERO)
+        all_fin_score = jnp.concatenate([state.fin_score, fin_cand_score])
+        all_fin_seq = jnp.concatenate([state.fin_seq, cand_seq], axis=0)
+        all_fin_len = jnp.concatenate(
+            [state.fin_len, jnp.full((2 * w,), i + 2, jnp.int32)])
+        fin_score, fin_idx = jax.lax.top_k(all_fin_score, w)
+        fin_seq = all_fin_seq[fin_idx]
+        fin_len = all_fin_len[fin_idx]
+
+        # ---- refill alive with the best non-eos candidates ------------------
+        alive_cand_score = jnp.where(is_eos, LOGZERO, cand_score)
+        alive_score, alive_idx = jax.lax.top_k(alive_cand_score, w)
+        hyp_sel = cand_hyp[alive_idx]                     # [W] previous hyp row
+        tok_sel = cand_tok[alive_idx]
+        alive_seq = cand_seq[alive_idx]
+        new_cache = jax.tree_util.tree_map(lambda c: c[hyp_sel], cache)
+        new_lm_state = (jax.tree_util.tree_map(lambda c: c[hyp_sel], lm_state)
+                        if lm_state is not None else None)
+        new_ctc = scorer.select_state(state.ctc, r_new, log_psi, part_ids,
+                                      hyp_sel, tok_sel)
+
+        return BeamState(alive_seq=alive_seq, alive_score=alive_score,
+                         alive_last=tok_sel, cache=new_cache, ctc=new_ctc,
+                         lm_state=new_lm_state, fin_seq=fin_seq,
+                         fin_score=fin_score, fin_len=fin_len)
+
+    final = jax.lax.fori_loop(0, max_len, step, init)
+    best = jnp.argmax(final.fin_score)
+    best_len = final.fin_len[best]
+    seq = final.fin_seq[best]
+    # strip sos (pos 0) and eos (pos best_len-1); pad with -1
+    inner = seq[1:]
+    keep = jnp.arange(l_max - 1) < (best_len - 2)
+    tokens = jnp.where(keep, inner, -1)
+    return tokens, jnp.maximum(best_len - 2, 0), final.fin_score[best]

@@ -1,0 +1,204 @@
+"""Beam search validation.
+
+1. CTCPrefixScorer vs an independent per-candidate numpy DP (Algorithm 2 of
+   the hybrid CTC/attention paper, written loop-wise from the math).
+2. Full hybrid beam search vs exhaustive enumeration over all sequences on a
+   toy vocab with a synthetic Markov decoder.
+3. Integration: overfit a tiny sentence model on one sample, then beam-decode
+   and recover the training transcript.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syncvsr_tpu.decode import BeamSearchConfig, CTCPrefixScorer, beam_search
+from syncvsr_tpu.decode.ctc_prefix import LOGZERO
+
+logaddexp = np.logaddexp
+
+
+def np_ctc_forward(log_probs, seq, blank=0):
+    """Standard CTC forward: log P(seq | log_probs). Full-sequence score."""
+    t_max, _ = log_probs.shape
+    if len(seq) == 0:
+        return log_probs[:, blank].sum()
+    ext = [blank]
+    for s in seq:
+        ext += [s, blank]
+    s_len = len(ext)
+    alpha = np.full((t_max, s_len), -np.inf)
+    alpha[0, 0] = log_probs[0, blank]
+    alpha[0, 1] = log_probs[0, ext[1]]
+    for t in range(1, t_max):
+        for s in range(s_len):
+            a = alpha[t - 1, s]
+            if s >= 1:
+                a = logaddexp(a, alpha[t - 1, s - 1])
+            if s >= 2 and ext[s] != blank and ext[s] != ext[s - 2]:
+                a = logaddexp(a, alpha[t - 1, s - 2])
+            alpha[t, s] = a + log_probs[t, ext[s]]
+    return logaddexp(alpha[-1, -1], alpha[-1, -2])
+
+
+def _np_extend_correct(log_probs, r_n, r_b, last, c, out_len, blank):
+    t_max = log_probs.shape[0]
+    phi = np.where(c == last, r_b, logaddexp(r_n, r_b)) if last is not None \
+        else logaddexp(r_n, r_b)
+    new_n = np.full(t_max, -np.inf)
+    new_b = np.full(t_max, -np.inf)
+    start = max(out_len, 1)
+    if out_len == 0:
+        new_n[0] = log_probs[0, c]
+    for t in range(max(start, 1), t_max):
+        new_n[t] = logaddexp(new_n[t - 1], phi[t - 1]) + log_probs[t, c]
+        new_b[t] = logaddexp(new_n[t - 1], new_b[t - 1]) + log_probs[t, blank]
+    return new_n, new_b
+
+
+def np_prefix_scores_tracked(log_probs, prefix, blank, eos):
+    """Like np_prefix_scores but with correct repeat handling along the prefix."""
+    t_max, vocab = log_probs.shape
+    r_n = np.full(t_max, -np.inf)
+    r_b = np.cumsum(log_probs[:, blank])
+    last = None
+    for gi, g in enumerate(prefix):
+        r_n, r_b = _np_extend_correct(log_probs, r_n, r_b, last, g, gi, blank)
+        last = g
+    psi = np.full(vocab, -np.inf)
+    for c in range(vocab):
+        if c == blank:
+            continue
+        if c == eos:
+            psi[c] = logaddexp(r_n[-1], r_b[-1])
+            continue
+        phi = np.where(np.asarray(c == last), r_b, logaddexp(r_n, r_b)) \
+            if last is not None else logaddexp(r_n, r_b)
+        start = max(len(prefix), 1)
+        acc = log_probs[0, c] if len(prefix) == 0 else -np.inf
+        for t in range(start, t_max):
+            acc = logaddexp(acc, phi[t - 1] + log_probs[t, c])
+        psi[c] = acc
+    return psi
+
+
+def test_prefix_scorer_matches_numpy():
+    rng = np.random.RandomState(0)
+    t_max, vocab = 7, 5
+    blank, eos = 0, vocab - 1
+    logits = rng.randn(t_max, vocab).astype(np.float32)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+
+    scorer = CTCPrefixScorer(jnp.asarray(logp), jnp.asarray(t_max), blank, eos)
+    w = 2
+    prefixes = [[], [1], [1, 1], [2, 3], [1, 2, 1]]
+    for prefix in prefixes:
+        expected = np_prefix_scores_tracked(logp, prefix, blank, eos)
+        # walk the jax scorer along the prefix
+        state = scorer.init_state(w)
+        last = jnp.full((w,), eos, jnp.int32)  # sos == eos id by convention
+        part_ids = jnp.tile(jnp.arange(vocab)[None, :], (w, 1))
+        for i, g in enumerate(prefix):
+            psi, r_new, _ = scorer.score_partial(state, last, part_ids, i)
+            state = scorer.select_state(state, r_new, psi, part_ids,
+                                        jnp.zeros((w,), jnp.int32),
+                                        jnp.full((w,), g, jnp.int32))
+            last = jnp.full((w,), g, jnp.int32)
+        psi, _, _ = scorer.score_partial(state, last, part_ids, len(prefix))
+        got = np.asarray(psi)[0]
+        exp = np.where(np.isinf(expected), LOGZERO, expected)
+        mask = expected > -1e9  # compare non-logzero entries
+        np.testing.assert_allclose(got[mask], expected[mask], rtol=1e-4,
+                                   err_msg=f"prefix={prefix}")
+
+
+def test_beam_search_matches_exhaustive():
+    """Exhaustive hybrid search on toy vocab == beam search best hypothesis."""
+    rng = np.random.RandomState(3)
+    vocab, t_max = 5, 6
+    blank, eos = 0, vocab - 1
+    ctc_weight, penalty = 0.3, 0.0
+    max_len = 4
+
+    ctc_logp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.randn(t_max, vocab).astype(np.float32) * 2), axis=-1))
+    # Markov decoder: logp(next | last) from a fixed table
+    table = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.randn(vocab, vocab).astype(np.float32) * 2), axis=-1))
+
+    def decoder_step(last, pos, cache, mem, mem_mask):
+        return jnp.asarray(table)[last], cache
+
+    def init_cache(w, l):
+        return {"dummy": jnp.zeros((w, 1))}
+
+    tokens, length, score = jax.jit(
+        lambda m: beam_search(decoder_step, init_cache, m, jnp.asarray(t_max),
+                              jnp.asarray(ctc_logp), vocab,
+                              BeamSearchConfig(beam_size=25, ctc_weight=ctc_weight,
+                                               penalty=penalty),
+                              max_len=max_len))(jnp.zeros((t_max, 4)))
+
+    # exhaustive: all sequences up to max_len-1 inner tokens
+    def dec_score(seq):
+        s, last = 0.0, eos  # sos == eos id
+        for tok in seq:
+            s += table[last, tok]
+            last = tok
+        return s + table[last, eos]
+
+    best = (None, -np.inf)
+    inner_vocab = [v for v in range(vocab) if v not in (blank, eos)]
+    for n in range(0, max_len):
+        for seq in itertools.product(inner_vocab, repeat=n):
+            sc = ((1 - ctc_weight) * dec_score(seq)
+                  + ctc_weight * np_ctc_forward(ctc_logp, list(seq), blank)
+                  + penalty * (n + 1))
+            if sc > best[1]:
+                best = (list(seq), sc)
+
+    got = [int(x) for x in np.asarray(tokens)[: int(length)]]
+    assert got == best[0], f"beam={got} score={float(score):.4f} vs brute={best}"
+    np.testing.assert_allclose(float(score), best[1], rtol=1e-4)
+
+
+def test_overfit_and_decode():
+    """Train a tiny sentence model on one batch, then beam-decode the
+    transcript back (end-to-end: encoder -> ctc+att -> beam search)."""
+    import numpy as np
+    from syncvsr_tpu.data.synthetic import sentence_batch  # noqa
+    from syncvsr_tpu.engine import build_train_step, create_train_state
+    from syncvsr_tpu.models import build_model
+    from tests.test_sentence_model import tiny_batch, tiny_sentence_config
+    from syncvsr_tpu.decode.api import make_beam_decoder, make_greedy_ctc_decoder
+
+    config = tiny_sentence_config(**{"model.sync_lambda": 0.0,
+                                     "model.encoder.msa_dropout": 0.0,
+                                     "model.encoder.mlp_dropout": 0.0,
+                                     "model.decoder.dropout": 0.0,
+                                     "data.use_cutmix": False,
+                                     "optim.lr": 3e-3, "optim.total_steps": 0})
+    model = build_model(config)
+    batch = tiny_batch(config, b=4, t=12, label_len=5, seed=7)
+    batch["lengths"][:] = 12
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_train_state(config, model, jb)
+    step = build_train_step(donate=False)
+    for _ in range(150):
+        state, m = step(state, jb)
+    assert float(m["decoder_acc"]) > 0.95, f"failed to overfit: {m}"
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    decode = make_beam_decoder(model, variables,
+                               BeamSearchConfig(beam_size=8, ctc_weight=0.1))
+    target = [int(x) for x in batch["labels"][0] if x != -1]
+    toks, n, score = decode(jb["videos"][:1], jb["lengths"][0])
+    got = [int(x) for x in np.asarray(toks)[: int(n)]]
+    assert got == target, f"beam decoded {got} != target {target}"
+
+    greedy = make_greedy_ctc_decoder(model, variables)
+    gtoks, glens = greedy(jb["videos"], jb["lengths"])
+    ggot = [int(x) for x in np.asarray(gtoks)[0][: int(glens[0])]]
+    assert ggot == target, f"greedy decoded {ggot} != target {target}"
