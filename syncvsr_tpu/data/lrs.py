@@ -1,0 +1,159 @@
+"""LRS2/LRS3 sentence-level dataset reader with length bucketing.
+
+Contract follows the reference AVDataset (LRS/video/datamodule/av_dataset.py):
+pkls hold {"video": [jpeg bytes], "text"/"label": str, optional tokens}; long
+clips (pretrain/Vox2) are randomly windowed with the window length drawn from
+the empirical length histogram and the transcript re-selected from per-word
+timestamps (av_dataset.py:72-94). Batching replaces torch pad-collate
+(data_module.py:12-43) with *length buckets*: each batch pads to the smallest
+configured bucket length, so XLA sees a handful of static shapes instead of
+one per batch.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from syncvsr_tpu.data.lrw import _torch_load, decode_jpeg_gray
+from syncvsr_tpu.data.tokenizer import TextTransform
+
+
+@dataclass
+class LRSDataset:
+    filenames: List[str]
+    text_transform: TextTransform
+    codec: str = "vq"
+    audio_alignment: int = 4
+    max_frames: int = 1800
+    # long-clip windowing (pretrain sets)
+    length_distribution: Optional[np.ndarray] = None
+    rng: Optional[np.random.RandomState] = None
+
+    def __post_init__(self):
+        self.rng = self.rng or np.random.RandomState(0)
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        data = _torch_load(self.filenames[index])
+        jpegs = data["video"]
+        text = data.get("text") or data.get("label") or ""
+        t = len(jpegs)
+
+        start, end = 0, t
+        if t > self.max_frames or (self.length_distribution is not None
+                                   and t > int(self.length_distribution.max())):
+            # sample a window whose length follows the empirical histogram
+            if self.length_distribution is not None:
+                wlen = int(self.rng.choice(self.length_distribution))
+            else:
+                wlen = self.max_frames
+            wlen = min(wlen, self.max_frames, t)
+            start = self.rng.randint(0, t - wlen + 1)
+            end = start + wlen
+            text = self._window_text(data, start, end, text)
+
+        video = np.stack([decode_jpeg_gray(b) for b in jpegs[start:end]])
+        tokens_key = f"{self.codec}_tokens"
+        if tokens_key in data:
+            tokens = np.asarray(data[tokens_key]).squeeze()
+            if tokens.ndim == 1:
+                tokens = tokens[:, None]
+            tokens = tokens[start * self.audio_alignment:
+                            end * self.audio_alignment]
+        else:
+            tokens = np.zeros(((end - start) * self.audio_alignment, 2), np.int32)
+
+        return {
+            "videos": video.astype(np.uint8),
+            "labels": self.text_transform.tokenize(text),
+            "audio_tokens": tokens.astype(np.int32),
+            "lengths": np.int32(end - start),
+        }
+
+    def _window_text(self, data, start, end, text) -> str:
+        """Re-select transcript words overlapping the frame window using
+        per-word timestamps when present (av_dataset.py:83-94)."""
+        words = data.get("words")
+        starts = data.get("word_starts")
+        ends = data.get("word_ends")
+        if not words or starts is None:
+            return text
+        fps = 25.0
+        t0, t1 = start / fps, end / fps
+        picked = [w for w, ws, we in zip(words, starts, ends)
+                  if ws >= t0 - 0.2 and we <= t1 + 0.2]
+        return " ".join(picked)
+
+
+def glob_lrs_files(root: str, dataset: str, split: str) -> List[str]:
+    """/data/<dataset>/<split>/*/*.pkl (data_module.py:61-63)."""
+    return sorted(glob.glob(os.path.join(root, dataset, split, "*", "*.pkl")))
+
+
+def bucket_for_length(length: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+class BucketBatcher:
+    """Groups samples into per-bucket batches with static padded shapes.
+
+    Padding conventions: videos zero-padded, labels -1, audio tokens -1
+    (ignored by the sync loss)."""
+
+    def __init__(self, buckets: Sequence[int], batch_size: int,
+                 max_label_len: int = 128, vq_groups: int = 2,
+                 audio_alignment: int = 4):
+        self.buckets = tuple(sorted(buckets))
+        self.batch_size = batch_size
+        self.max_label_len = max_label_len
+        self.vq_groups = vq_groups
+        self.audio_alignment = audio_alignment
+        self.pools: Dict[int, list] = {b: [] for b in self.buckets}
+
+    def add(self, sample: Dict[str, np.ndarray]):
+        b = bucket_for_length(int(sample["lengths"]), self.buckets)
+        self.pools[b].append(sample)
+        if len(self.pools[b]) == self.batch_size:
+            batch = self._collate(self.pools[b], b)
+            self.pools[b] = []
+            return batch
+        return None
+
+    def flush(self):
+        out = []
+        for b, pool in self.pools.items():
+            if pool:
+                while len(pool) < self.batch_size:  # repeat-pad the tail batch
+                    pool.append(pool[-1])
+                out.append(self._collate(pool, b))
+                self.pools[b] = []
+        return out
+
+    def _collate(self, samples, bucket: int) -> Dict[str, np.ndarray]:
+        n = len(samples)
+        h, w, c = samples[0]["videos"].shape[1:]
+        videos = np.zeros((n, bucket, h, w, c), samples[0]["videos"].dtype)
+        labels = np.full((n, self.max_label_len), -1, np.int32)
+        tokens = np.full((n, bucket * self.audio_alignment, self.vq_groups),
+                         -1, np.int32)
+        lengths = np.zeros((n,), np.int32)
+        for i, s in enumerate(samples):
+            t = min(int(s["lengths"]), bucket)
+            videos[i, :t] = s["videos"][:t]
+            lab = s["labels"][: self.max_label_len]
+            labels[i, : len(lab)] = lab
+            tok = s["audio_tokens"][: t * self.audio_alignment]
+            tokens[i, : tok.shape[0], : tok.shape[1]] = tok
+            lengths[i] = t
+        return {"videos": videos, "labels": labels, "audio_tokens": tokens,
+                "lengths": lengths}

@@ -1,0 +1,153 @@
+"""LRW word-level dataset readers (video pkl and landmark npy).
+
+Mirrors the reference's dataset contracts:
+  * video pkls: torch-saved dicts with "video" = list of per-frame JPEG bytes
+    (LRW/video/src/data.py:36-45, preprocess_pkl.py:209-225); decoded here to
+    grayscale uint8 [T, H, W, 1] with cv2 (TurboJPEG equivalent);
+  * audio tokens from released token pkls keyed "{codec}_tokens"
+    (data.py:49-55) mapped by the same path convention;
+  * word-boundary masks from durations.csv: a centered window of the word's
+    length inside the 29-frame clip (data.py:57-64);
+  * landmark npys: [T, 478, 3] mediapipe landmarks, nan -> 0, flattened to
+    [T, 1434] (LRW/landmark/src/dataset.py:28-33).
+
+Augmentation policy: video augmentation runs on-device inside the jitted step
+(ops/image.py); landmark geometric transforms run here on CPU
+(data/landmark_transforms.py) as in the reference.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def _torch_load(path: str):
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def decode_jpeg_gray(jpeg_bytes: bytes) -> np.ndarray:
+    img = cv2.imdecode(np.frombuffer(jpeg_bytes, np.uint8), cv2.IMREAD_GRAYSCALE)
+    return img[..., None]  # [H, W, 1]
+
+
+def load_durations(path: str):
+    import pandas as pd
+
+    return pd.read_csv(path, index_col="id")
+
+
+def discover_labels(root: str) -> List[str]:
+    """Sorted class-directory names (data.py:143)."""
+    return sorted(d for d in os.listdir(root)
+                  if os.path.isdir(os.path.join(root, d)))
+
+
+@dataclass
+class LRWVideoDataset:
+    """Index-based reader returning numpy sample dicts."""
+
+    filenames: List[str]
+    labels: List[str]
+    audio_root: Optional[str] = None
+    codec: str = "vq"
+    num_frames: int = 29
+    durations_df: object = None
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        path = self.filenames[index]
+        data = _torch_load(path)
+        label = self.labels.index(path.split(os.sep)[-3])
+
+        video = np.stack([decode_jpeg_gray(b) for b in data["video"]])  # [T,H,W,1]
+        t = video.shape[0]
+
+        if self.audio_root is not None:
+            rel_root = os.path.dirname(os.path.dirname(os.path.dirname(path)))
+            token_path = path.replace(rel_root, self.audio_root)
+            tokens = np.asarray(_torch_load(token_path)[f"{self.codec}_tokens"])
+        else:
+            tokens = np.asarray(data[f"{self.codec}_tokens"])
+        tokens = np.squeeze(tokens)
+        if tokens.ndim == 1:
+            tokens = tokens[:, None]
+
+        sample = {
+            "inputs": video.astype(np.uint8),
+            "labels": np.int32(label),
+            "audio_tokens": tokens.astype(np.int32),
+        }
+        if self.durations_df is not None:
+            name = "/".join(path.split(os.sep)[-2:])[:-4]
+            boundary = int(self.durations_df.loc[name].length)
+            start = (t - boundary) // 2
+            mask = np.zeros(t, np.float32)
+            mask[start:start + boundary] = 1.0
+            sample["word_mask"] = mask
+        return sample
+
+
+@dataclass
+class LRWLandmarkDataset:
+    filenames: List[str]
+    labels: List[str]
+    audio_root: Optional[str] = None
+    codec: str = "vq"
+    transform: Optional[Callable[[np.ndarray], np.ndarray]] = None
+    durations_df: object = None
+    num_frames: int = 29
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        path = self.filenames[index]
+        label = self.labels.index(path.split(os.sep)[-3])
+        landmarks = np.load(path).astype(np.float32)  # [T, 478, 3]
+        if self.transform is not None:
+            landmarks = self.transform(landmarks)
+        t = landmarks.shape[0]
+        feats = np.nan_to_num(landmarks, nan=0.0).reshape(t, -1)
+
+        tokens = None
+        if self.audio_root is not None:
+            rel_root = os.path.dirname(os.path.dirname(os.path.dirname(path)))
+            token_path = path.replace(rel_root, self.audio_root)[:-4] + ".pkl"
+            tokens = np.asarray(_torch_load(token_path)[f"{self.codec}_tokens"])
+            tokens = np.squeeze(tokens)
+            if tokens.ndim == 1:
+                tokens = tokens[:, None]
+        sample = {
+            "inputs": feats,
+            "labels": np.int32(label),
+            "audio_tokens": tokens.astype(np.int32) if tokens is not None
+            else np.zeros((t * 4, 2), np.int32),
+        }
+        if self.durations_df is not None:
+            name = "/".join(path.split(os.sep)[-2:])[:-4]
+            boundary = int(self.durations_df.loc[name].length)
+            start = (t - boundary) // 2
+            mask = np.zeros(t, np.float32)
+            mask[start:start + boundary] = 1.0
+            sample["word_mask"] = mask
+        return sample
+
+
+def glob_lrw_files(root: str, split: str, ext: str = "pkl") -> List[str]:
+    """<root>/<WORD>/<split>/<WORD>_<id>.<ext> (LRW directory layout)."""
+    return sorted(glob.glob(os.path.join(root, "*", split, f"*.{ext}")))

@@ -57,8 +57,12 @@ def sentence_batch(config: Config, batch_size: int = 0, num_frames: int = 32,
     for i in range(b):
         labels[i, : label_lengths[i]] = rng.randint(
             1, config.model.labels - 1, (label_lengths[i],))
+    if config.model.frontend.kind == "landmark":
+        videos = rng.randn(b, t, config.model.frontend.input_features)
+    else:
+        videos = rng.randn(b, t, s, s, 1)
     return {
-        "videos": rng.randn(b, t, s, s, 1).astype(np.float32),
+        "videos": videos.astype(np.float32),
         "lengths": lengths,
         "labels": labels,
         "audio_tokens": rng.randint(

@@ -1,0 +1,102 @@
+"""Evaluation driver.
+
+Word-level: top-1/top-5 accuracy over the test split (reference
+LRW/video/src/inference.py). Sentence-level: per-utterance beam-search WER
+(reference LRS/video/lightning.py:114-129,224-234) with the jittable hybrid
+decoder, or fast greedy-CTC WER with decode=greedy.
+
+Usage:
+    python -m syncvsr_tpu.evaluate preset=lrs3 data.root=/data \
+        ckpt=best.msgpack decode=beam beam_size=40
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syncvsr_tpu.config import PRESETS, Config, parse_cli_overrides
+from syncvsr_tpu.data.factory import build_loaders
+from syncvsr_tpu.decode import BeamSearchConfig
+from syncvsr_tpu.decode.api import make_beam_decoder, make_greedy_ctc_decoder
+from syncvsr_tpu.engine import build_eval_step, create_train_state
+from syncvsr_tpu.models import build_model
+from syncvsr_tpu.ops.image import build_eval_transform
+from syncvsr_tpu.parallel import create_mesh, shard_batch
+from syncvsr_tpu.utils import checkpoint as ckpt
+from syncvsr_tpu.utils.metrics import AverageMeter
+from syncvsr_tpu.utils.text import WordErrorRate
+
+
+def main():
+    overrides = parse_cli_overrides(sys.argv[1:])
+    preset = overrides.pop("preset", None)
+    ckpt_path = overrides.pop("ckpt", None)
+    decode_mode = overrides.pop("decode", "beam")
+    beam_size = int(overrides.pop("beam_size", 40))
+    config = (PRESETS[preset]() if preset else Config()).override(**overrides)
+
+    model = build_model(config)
+    _, eval_loader = build_loaders(config)
+    example = next(iter(eval_loader))
+    eval_transform = build_eval_transform(config.data)
+    init_example = eval_transform(example) if config.model.task == "word" else example
+    state = create_train_state(
+        config, model, {k: jnp.asarray(v) for k, v in init_example.items()})
+    if ckpt_path:
+        payload = ckpt.load_msgpack(ckpt_path)
+        params, _ = ckpt.partial_load(state.params, payload.get("params", payload))
+        state = state.replace(params=params,
+                              batch_stats=payload.get("batch_stats",
+                                                      state.batch_stats))
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    if config.model.task == "word":
+        mesh = create_mesh(config.mesh.data, config.mesh.model)
+        eval_step = build_eval_step(mesh)
+        meter = AverageMeter()
+        for batch in eval_loader:
+            batch = eval_transform(batch)
+            meter.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))))
+        print(json.dumps(meter.summary("test/")))
+        return
+
+    # sentence-level: WER
+    from syncvsr_tpu.data.tokenizer import TextTransform
+
+    tt = TextTransform()
+    wer = WordErrorRate()
+    if decode_mode == "beam":
+        decode = make_beam_decoder(
+            model, variables,
+            BeamSearchConfig(beam_size=beam_size,
+                             ctc_weight=config.model.mtlalpha))
+        for batch in eval_loader:
+            for i in range(batch["videos"].shape[0]):
+                toks, n, _ = decode(jnp.asarray(batch["videos"][i:i + 1]),
+                                    jnp.asarray(batch["lengths"][i]))
+                hyp = tt.post_process(np.asarray(toks)[: int(n)])
+                ref = tt.post_process(batch["labels"][i])
+                wer.update(ref, hyp)
+    else:
+        decode = make_greedy_ctc_decoder(model, variables)
+        for batch in eval_loader:
+            toks, lens = decode(jnp.asarray(batch["videos"]),
+                                jnp.asarray(batch["lengths"]))
+            for i in range(batch["videos"].shape[0]):
+                hyp = tt.post_process(np.asarray(toks)[i][: int(lens[i])])
+                ref = tt.post_process(batch["labels"][i])
+                wer.update(ref, hyp)
+    print(json.dumps({"test/wer": wer.wer,
+                      "test/edit_distance": wer.total_edit_distance,
+                      "test/words": wer.total_length}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Unified training driver for every workload.
+
+Usage:
+    python -m syncvsr_tpu.train preset=lrw_landmark data.root=/data/LRW \
+        optim.lr=1e-3 train.epochs=10
+    python -m syncvsr_tpu.train config=path/to/config.json [overrides...]
+
+Replaces the reference's three drivers (LRW/video/src/train.py,
+LRW/landmark/src/main.py, LRS/video/main.py) with one loop over the
+jit+Mesh engine: per-host loaders feed local shards, metrics aggregate via an
+AverageMeter, periodic eval tracks the monitored metric, and checkpoints save
+the full TrainState (best + latest, resumable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syncvsr_tpu.config import PRESETS, Config, parse_cli_overrides
+from syncvsr_tpu.data.factory import build_loaders
+from syncvsr_tpu.engine import build_eval_step, build_train_step, create_train_state
+from syncvsr_tpu.engine.state import param_count
+from syncvsr_tpu.models import build_model
+from syncvsr_tpu.ops.image import build_eval_transform, build_word_aug
+from syncvsr_tpu.parallel import create_mesh, shard_batch
+from syncvsr_tpu.utils import checkpoint as ckpt
+from syncvsr_tpu.utils.metrics import AverageMeter, MetricLogger
+
+
+def load_config(argv) -> Config:
+    overrides = parse_cli_overrides(argv)
+    preset = overrides.pop("preset", None)
+    config_path = overrides.pop("config", None)
+    if config_path:
+        config = Config.from_dict(json.load(open(config_path)))
+    elif preset:
+        config = PRESETS[preset]()
+    else:
+        config = Config()
+    return config.override(**overrides) if overrides else config
+
+
+def monitored_metric(config: Config) -> str:
+    # val accuracy for word-level (train.py:19-21), decoder acc for sentence
+    # (LRS/video/main.py:21-23)
+    return "acc1" if config.model.task == "word" else "decoder_acc"
+
+
+def train(config: Config) -> Dict[str, float]:
+    if jax.process_count() > 1:
+        pass  # jax.distributed.initialize() is the launcher's responsibility
+    mesh = create_mesh(config.mesh.data, config.mesh.model)
+    model = build_model(config)
+    train_loader, eval_loader = build_loaders(config)
+
+    example = next(iter(train_loader))
+    eval_transform = build_eval_transform(config.data)
+    aug_fn = build_word_aug(config.data) if config.model.task == "word" else None
+    init_example = eval_transform(example) if config.model.task == "word" else example
+    state = create_train_state(
+        config, model, {k: jnp.asarray(v) for k, v in init_example.items()})
+    if jax.process_index() == 0:
+        print(f"[train] params: {param_count(state.params) / 1e6:.2f}M, "
+              f"mesh: {mesh}, devices: {len(jax.devices())}")
+
+    if config.train.pretrained:
+        pre = ckpt.load_msgpack(config.train.pretrained)
+        pre = pre.get("params", pre)
+        new_params, _ = ckpt.partial_load(state.params, pre)
+        state = state.replace(params=new_params)
+    start_step = 0
+    latest = ckpt.latest_checkpoint(config.train.ckpt_dir) \
+        if config.train.resume == "auto" else (config.train.resume or None)
+    if latest and os.path.exists(latest):
+        state = ckpt.restore_train_state(latest, state)
+        start_step = int(state.step)
+        print(f"[train] resumed from {latest} @ step {start_step}")
+
+    train_step = build_train_step(mesh, donate=config.train.donate, aug_fn=aug_fn)
+    eval_step = build_eval_step(mesh)
+
+    os.makedirs(config.train.ckpt_dir, exist_ok=True)
+    logger = MetricLogger(path=os.path.join(config.train.ckpt_dir, "metrics.jsonl")
+                          if jax.process_index() == 0 else None,
+                          use_wandb=config.train.wandb, name=config.name,
+                          config=config.to_dict())
+    meter = AverageMeter()
+    monitor = monitored_metric(config)
+    best = -np.inf
+    step = start_step
+    t_start = time.time()
+
+    def run_eval() -> Dict[str, float]:
+        em = AverageMeter()
+        for batch in eval_loader:
+            if config.model.task == "word":
+                batch = eval_transform(batch)
+            em.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))))
+        return em.summary("val/")
+
+    for epoch in range(config.train.epochs):
+        for batch in train_loader:
+            state, metrics = train_step(state, shard_batch(mesh, batch))
+            meter.update(jax.device_get(metrics))
+            step += 1
+            if step % config.train.log_every == 0:
+                summary = meter.summary("train/")
+                summary["train/steps_per_sec"] = config.train.log_every / max(
+                    time.time() - t_start, 1e-6)
+                t_start = time.time()
+                logger.log(summary, step)
+                if jax.process_index() == 0:
+                    print(f"[step {step}] " + " ".join(
+                        f"{k.split('/')[-1]}={v:.4f}" for k, v in summary.items()))
+            if step % config.train.eval_every == 0:
+                val = run_eval()
+                logger.log(val, step)
+                if jax.process_index() == 0:
+                    print(f"[eval {step}] " + " ".join(
+                        f"{k.split('/')[-1]}={v:.4f}" for k, v in val.items()))
+                    if val.get(f"val/{monitor}", -np.inf) > best:
+                        best = val[f"val/{monitor}"]
+                        ckpt.save_msgpack(
+                            os.path.join(config.train.ckpt_dir, "best.msgpack"),
+                            {"params": jax.device_get(state.params),
+                             "batch_stats": jax.device_get(state.batch_stats or {}),
+                             "step": step, monitor: best})
+            if step % config.train.ckpt_every == 0 and jax.process_index() == 0:
+                ckpt.save_train_state(config.train.ckpt_dir, state, step)
+            if config.optim.total_steps and step >= config.optim.total_steps:
+                break
+        else:
+            continue
+        break
+
+    final = run_eval()
+    logger.log(final, step)
+    if jax.process_index() == 0:
+        ckpt.save_train_state(config.train.ckpt_dir, state, step)
+    logger.close()
+    return final
+
+
+def main():
+    config = load_config(sys.argv[1:])
+    final = train(config)
+    print("[done]", json.dumps(final))
+
+
+if __name__ == "__main__":
+    main()

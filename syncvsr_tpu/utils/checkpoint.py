@@ -1,0 +1,129 @@
+"""Checkpointing and parameter surgery.
+
+Covers the reference's three mechanisms (SURVEY.md §5):
+ 1. best/periodic full-TrainState checkpoints — orbax when importable, with a
+    msgpack fallback (the landmark stack's flax.serialization single-file
+    format, LRW/landmark/src/main.py:48-50);
+ 2. partial warm starts: merge the intersection of a pretrained tree into
+    fresh params (LRW/landmark/src/utils.py:59-71);
+ 3. state-dict surgery: key-prefix renames when transferring frontends between
+    stacks, e.g. audio_projection -> audio_classifier
+    (LRS/video/lightning.py:37-86).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import numpy as np
+
+
+def flatten(tree: Any) -> Dict[str, Any]:
+    return flax.traverse_util.flatten_dict(flax.core.unfreeze(tree), sep=".")
+
+
+def unflatten(d: Dict[str, Any]) -> Any:
+    return flax.traverse_util.unflatten_dict(d, sep=".")
+
+
+# ---------------------------------------------------------------------------
+# msgpack single-file checkpoints (landmark-stack format)
+# ---------------------------------------------------------------------------
+
+def save_msgpack(path: str, tree: Any) -> None:
+    tree = jax.device_get(tree)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(flax.core.unfreeze(tree)))
+
+
+def load_msgpack(path: str) -> Any:
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
+# ---------------------------------------------------------------------------
+# full train-state checkpoints
+# ---------------------------------------------------------------------------
+
+def save_train_state(ckpt_dir: str, state, step: int, keep: int = 5) -> str:
+    """Writes <ckpt_dir>/step_<N>.msgpack with params/opt/batch_stats/rngs."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(
+            flax.serialization.to_state_dict(state.opt_state)),
+        "batch_stats": jax.device_get(state.batch_stats or {}),
+        "mixup_rng": jax.device_get(state.mixup_rng),
+        "dropout_rng": jax.device_get(state.dropout_rng),
+    }
+    path = os.path.join(ckpt_dir, f"step_{step}.msgpack")
+    save_msgpack(path, payload)
+    _prune(ckpt_dir, keep)
+    return path
+
+
+def restore_train_state(path: str, state):
+    payload = load_msgpack(path)
+    opt_state = flax.serialization.from_state_dict(state.opt_state,
+                                                   payload["opt_state"])
+    return state.replace(
+        step=int(payload["step"]),
+        params=payload["params"],
+        opt_state=opt_state,
+        batch_stats=payload.get("batch_stats", {}),
+        mixup_rng=payload["mixup_rng"],
+        dropout_rng=payload["dropout_rng"],
+    )
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    files = [f for f in os.listdir(ckpt_dir)
+             if f.startswith("step_") and f.endswith(".msgpack")]
+    if not files:
+        return None
+    files.sort(key=lambda f: int(f.split("_")[1].split(".")[0]))
+    return os.path.join(ckpt_dir, files[-1])
+
+
+def _prune(ckpt_dir: str, keep: int):
+    files = sorted((f for f in os.listdir(ckpt_dir)
+                    if f.startswith("step_") and f.endswith(".msgpack")),
+                   key=lambda f: int(f.split("_")[1].split(".")[0]))
+    for f in files[:-keep]:
+        os.remove(os.path.join(ckpt_dir, f))
+
+
+# ---------------------------------------------------------------------------
+# surgery
+# ---------------------------------------------------------------------------
+
+def partial_load(params: Any, pretrained: Any,
+                 rename: Optional[Dict[str, str]] = None,
+                 verbose: bool = True) -> Tuple[Any, int]:
+    """Merge every pretrained leaf whose (renamed) key exists in params with a
+    matching shape. Returns (merged params, n_loaded)."""
+    flat = flatten(params)
+    pre = flatten(pretrained)
+    if rename:
+        renamed = {}
+        for k, v in pre.items():
+            for old, new in rename.items():
+                if k.startswith(old):
+                    k = new + k[len(old):]
+                    break
+            renamed[k] = v
+        pre = renamed
+    loaded = 0
+    for k, v in pre.items():
+        if k in flat and np.shape(flat[k]) == np.shape(v):
+            flat[k] = v
+            loaded += 1
+    if verbose:
+        print(f"[ckpt] loaded {loaded}/{len(flat)} params from pretrained tree")
+    return unflatten(flat), loaded

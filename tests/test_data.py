@@ -1,0 +1,176 @@
+"""Data layer: readers over synthetic pkl/npy fixtures, loader sharding,
+length bucketing, tokenizer round trips, WER."""
+
+import os
+
+import numpy as np
+import pytest
+
+from syncvsr_tpu.data.loader import DataLoader, pad_word_collate
+from syncvsr_tpu.data.lrs import BucketBatcher, LRSDataset, bucket_for_length
+from syncvsr_tpu.data.lrw import (
+    LRWLandmarkDataset,
+    LRWVideoDataset,
+    discover_labels,
+    glob_lrw_files,
+    load_durations,
+)
+from syncvsr_tpu.data.tokenizer import TextTransform
+from syncvsr_tpu.utils.text import WordErrorRate, edit_distance
+
+cv2 = pytest.importorskip("cv2")
+torch = pytest.importorskip("torch")
+
+
+def _jpeg(rng, h=20, w=24):
+    img = rng.randint(0, 256, (h, w), np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return buf.tobytes()
+
+
+@pytest.fixture(scope="module")
+def lrw_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lrw")
+    rng = np.random.RandomState(0)
+    words = ["ABOUT", "WORLD"]
+    rows = []
+    for word in words:
+        for split in ("train", "val"):
+            d = root / word / split
+            d.mkdir(parents=True)
+            for i in range(3):
+                pkl = {
+                    "video": [_jpeg(rng) for _ in range(29)],
+                    "vq_tokens": torch.tensor(
+                        rng.randint(0, 320, (1, 120, 2)), dtype=torch.long),
+                }
+                torch.save(pkl, d / f"{word}_{i:05d}.pkl")
+                rows.append((f"{split}/{word}_{i:05d}", 11))
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["id", "length"])
+    df.to_csv(root / "durations.csv", index=False)
+    return str(root)
+
+
+def test_lrw_video_dataset(lrw_root):
+    labels = discover_labels(lrw_root)
+    assert labels == ["ABOUT", "WORLD"]
+    files = glob_lrw_files(lrw_root, "train")
+    assert len(files) == 6
+    ds = LRWVideoDataset(files, labels,
+                         durations_df=load_durations(os.path.join(lrw_root, "durations.csv")))
+    s = ds[0]
+    assert s["inputs"].shape == (29, 20, 24, 1) and s["inputs"].dtype == np.uint8
+    assert s["audio_tokens"].shape == (120, 2)
+    assert s["word_mask"].shape == (29,) and s["word_mask"].sum() == 11
+    # centered window
+    assert s["word_mask"][(29 - 11) // 2] == 1.0 and s["word_mask"][0] == 0.0
+
+
+def test_loader_sharding(lrw_root):
+    labels = discover_labels(lrw_root)
+    files = glob_lrw_files(lrw_root, "train")
+    ds = LRWVideoDataset(files, labels)
+    collate = pad_word_collate(29, 120, 2)
+    # emulate 2 hosts: every sample consumed exactly once per epoch
+    seen = []
+    for pi in (0, 1):
+        dl = DataLoader(ds, batch_size=2, shuffle=True, seed=1, collate=collate,
+                        process_index=pi, process_count=2, num_threads=1)
+        for batch in dl:
+            assert batch["inputs"].shape == (1, 29, 20, 24, 1)
+            seen.append(int(batch["labels"][0]))
+    assert len(seen) == 6
+
+
+def test_lrw_landmark_dataset(tmp_path):
+    rng = np.random.RandomState(0)
+    root = tmp_path / "lm"
+    for word in ["ABOUT"]:
+        d = root / word / "train"
+        d.mkdir(parents=True)
+        arr = rng.randn(29, 478, 3).astype(np.float32)
+        arr[0, 0, 0] = np.nan
+        np.save(d / f"{word}_00001.npy", arr)
+    files = glob_lrw_files(str(root), "train", ext="npy")
+    ds = LRWLandmarkDataset(files, ["ABOUT"])
+    s = ds[0]
+    assert s["inputs"].shape == (29, 1434)
+    assert np.isfinite(s["inputs"]).all()
+
+
+@pytest.fixture(scope="module")
+def lrs_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lrs")
+    rng = np.random.RandomState(1)
+    d = root / "LRS3" / "train" / "spk0"
+    d.mkdir(parents=True)
+    texts = ["HELLO WORLD", "THE QUICK BROWN FOX", "A DAY"]
+    for i, (t, text) in enumerate(zip((12, 30, 8), texts)):
+        pkl = {
+            "video": [_jpeg(rng, 16, 16) for _ in range(t)],
+            "text": text,
+            "vq_tokens": torch.tensor(rng.randint(0, 320, (1, t * 4 + 4, 2))),
+        }
+        torch.save(pkl, d / f"clip{i}.pkl")
+    return str(root)
+
+
+def test_lrs_dataset_and_bucketing(lrs_root):
+    from syncvsr_tpu.data.lrs import glob_lrs_files
+
+    tt = TextTransform()
+    files = glob_lrs_files(lrs_root, "LRS3", "train")
+    assert len(files) == 3
+    ds = LRSDataset(files, tt)
+    s = ds[0]
+    assert s["videos"].shape[0] == int(s["lengths"])
+    assert tt.post_process(s["labels"]) in ("HELLO WORLD", "THE QUICK BROWN FOX", "A DAY")
+
+    batcher = BucketBatcher(buckets=(16, 32), batch_size=2, max_label_len=16)
+    batches = []
+    for i in range(len(ds)):
+        b = batcher.add(ds[i])
+        if b:
+            batches.append(b)
+    batches.extend(batcher.flush())
+    assert batches
+    for b in batches:
+        t = b["videos"].shape[1]
+        assert t in (16, 32)
+        assert b["audio_tokens"].shape[1] == t * 4
+        assert (b["lengths"] <= t).all()
+        # padding tokens are ignored (-1)
+        for i in range(len(b["lengths"])):
+            assert (b["audio_tokens"][i, b["lengths"][i] * 4:] == -1).all()
+
+
+def test_bucket_for_length():
+    assert bucket_for_length(10, (16, 32)) == 16
+    assert bucket_for_length(17, (16, 32)) == 32
+    assert bucket_for_length(99, (16, 32)) == 32
+
+
+def test_edit_distance_wer():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance([1, 2, 3], [1, 3]) == 1
+    wer = WordErrorRate()
+    wer.update("the cat sat", "the cat sat")
+    wer.update("hello world", "hello word there")
+    assert wer.total_length == 5
+    assert wer.wer == pytest.approx(2 / 5)
+
+
+def test_tokenizer_roundtrip_and_contract():
+    tt = TextTransform()
+    assert tt.vocab_size == 5049
+    assert tt.token_list[0] == "<blank>"
+    assert tt.token_list[-1] == "<eos>"
+    assert tt.hashmap["<unk>"] == 1
+    for text in ["SENTENCE LEVEL LIPREADING IS HARD",
+                 "IT'S A TEST", "ZYZZYVA"]:
+        ids = tt.tokenize(text)
+        assert (ids > 0).all() and (ids < tt.vocab_size - 1).all()
+        assert tt.post_process(ids) == text

@@ -1,0 +1,86 @@
+"""Train driver end-to-end on synthetic data + checkpoint save/resume +
+landmark transform recipes."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from syncvsr_tpu.config import lrw_landmark_config
+from syncvsr_tpu.data.landmark_transforms import create_transform
+from syncvsr_tpu.train import load_config, train
+from syncvsr_tpu.utils import checkpoint as ckpt
+
+
+def driver_config(tmp_path, **extra):
+    o = {
+        "model.encoder.layers": 2, "model.encoder.dim": 32,
+        "model.encoder.heads": 2, "model.frontend.input_features": 12,
+        "model.labels": 11, "model.codec.audio_vocab_size": 17,
+        "model.dtype": "float32",
+        "data.dataset": "synthetic", "data.batch_size": 8, "data.num_frames": 6,
+        "optim.total_steps": 0, "optim.lr": 1e-3,
+        "train.epochs": 1, "train.log_every": 4, "train.eval_every": 8,
+        "train.ckpt_every": 8, "train.ckpt_dir": str(tmp_path / "ckpt"),
+    }
+    o.update(extra)
+    return lrw_landmark_config().override(**o)
+
+
+def test_train_driver_end_to_end(tmp_path, mesh8):
+    config = driver_config(tmp_path)
+    final = train(config)
+    assert "val/loss" in final and np.isfinite(final["val/loss"])
+    # checkpoints + metrics written
+    assert ckpt.latest_checkpoint(str(tmp_path / "ckpt")) is not None
+    assert os.path.exists(tmp_path / "ckpt" / "metrics.jsonl")
+    assert os.path.exists(tmp_path / "ckpt" / "best.msgpack")
+
+
+def test_resume(tmp_path, mesh8):
+    config = driver_config(tmp_path)
+    train(config)
+    path = ckpt.latest_checkpoint(str(tmp_path / "ckpt"))
+    step0 = int(path.split("step_")[1].split(".")[0])
+
+    config2 = driver_config(tmp_path, **{"train.resume": "auto"})
+    train(config2)
+    path2 = ckpt.latest_checkpoint(str(tmp_path / "ckpt"))
+    step1 = int(path2.split("step_")[1].split(".")[0])
+    assert step1 > step0  # continued from the restored step
+
+
+def test_partial_load_and_rename():
+    params = {"a": {"kernel": np.zeros((2, 2))}, "b": {"bias": np.zeros(3)}}
+    pre = {"a_old": {"kernel": np.ones((2, 2))},
+           "b": {"bias": np.ones(3)},
+           "c": {"x": np.ones(1)}}
+    merged, n = ckpt.partial_load(params, pre, rename={"a_old": "a"}, verbose=False)
+    assert n == 2
+    np.testing.assert_allclose(merged["a"]["kernel"], 1.0)
+    np.testing.assert_allclose(merged["b"]["bias"], 1.0)
+
+
+def test_load_config_cli():
+    c = load_config(["preset=lrw_video", "optim.lr=0.5", "model.labels=7"])
+    assert c.name == "lrw_video" and c.optim.lr == 0.5 and c.model.labels == 7
+
+
+def test_landmark_transform_recipes():
+    rng = np.random.RandomState(0)
+    x = rng.randn(35, 478, 3).astype(np.float32)
+    x[3, 5] = np.nan
+    valid = create_transform(train=False, max_length=29,
+                             rng=np.random.RandomState(0))(x)
+    assert valid.shape == (29, 478, 3)
+    for seed in range(3):
+        out = create_transform(train=True, max_length=29,
+                               rng=np.random.RandomState(seed))(x)
+        assert out.shape == (29, 478, 3)
+        # pad sentinel or finite or nan — no infs
+        assert not np.isinf(out).any()
+    short = rng.randn(10, 478, 3).astype(np.float32)
+    padded = create_transform(train=False, max_length=29,
+                              rng=np.random.RandomState(0))(short)
+    assert padded.shape == (29, 478, 3)
+    assert (padded[10:] == -100.0).all()
