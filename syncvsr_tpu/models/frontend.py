@@ -35,10 +35,21 @@ class Conv3DResNetFrontend(nn.Module):
     def __call__(self, videos: Array, train: bool = False) -> Array:
         # videos: [B, T, H, W, C]; normalize handled upstream (data/image ops)
         x = videos.astype(self.dtype)
-        # Conv3D 1->64, kernel (5,7,7), stride (1,2,2), pad (2,3,3)
-        x = nn.Conv(self.stem_channels, (5, 7, 7), (1, 2, 2),
-                    padding=((2, 2), (3, 3), (3, 3)), use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32, name="stem_conv")(x)
+        # Conv3D 1->64, kernel (5,7,7), stride (1,2,2), pad (2,3,3) — run via
+        # the space-to-depth regrouping (ops/stem.py), ~2x faster on the MXU;
+        # the parameter keeps the reference (5,7,7,1,C) layout
+        from syncvsr_tpu.ops.stem import stem_conv3d_s2d
+
+        kernel = self.param(
+            "stem_conv_kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            (5, 7, 7, 1, self.stem_channels))
+        if x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+            x = stem_conv3d_s2d(x, kernel, self.dtype)
+        else:  # odd spatial sizes: direct conv fallback
+            from syncvsr_tpu.ops.stem import stem_conv3d_reference
+
+            x = stem_conv3d_reference(x, kernel, self.dtype)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, param_dtype=jnp.float32, name="stem_bn")(x)
         x = activation(self.stem_act)(x)
