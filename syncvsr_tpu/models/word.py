@@ -37,8 +37,10 @@ def smooth_labels(onehot: Array, smoothing: float) -> Array:
 
 
 class SyncHead(nn.Module):
-    """Per-frame audio-token head. Holds the raw projection so the fused
-    chunked-CE op can consume kernel/bias directly."""
+    """Per-frame audio-token head. Holds the raw projection so the fused CE
+    ops can consume kernel/bias directly. On TPU the forward runs the Pallas
+    fused projection+CE kernel (logits never reach HBM); elsewhere the
+    jnp/chunked implementation."""
 
     alignment: int
     groups: int
@@ -49,6 +51,13 @@ class SyncHead(nn.Module):
         out = self.alignment * self.groups * self.vocab
         kernel = self.param("kernel", trunc_normal(), (features.shape[-1], out))
         bias = self.param("bias", nn.initializers.zeros, (out,))
+        if jax.default_backend() in ("tpu", "axon"):
+            from syncvsr_tpu.ops.pallas_sync import pallas_sync_cross_entropy
+
+            bwd_chunk = chunk or min(max(features.shape[1], 8), 128)
+            return pallas_sync_cross_entropy(
+                features, kernel, bias, tokens, self.alignment, self.groups,
+                self.vocab, bwd_chunk)
         return sync_cross_entropy(features, kernel, bias, tokens,
                                   self.alignment, self.groups, self.vocab,
                                   chunk=chunk)

@@ -68,7 +68,9 @@ def _chunk_stats(feat_c, kernel, bias, tok_c, alignment, groups, vocab):
     return _ce_from_logits(logits, tok_c.reshape(-1))
 
 
-def _chunked_fwd(features, kernel, bias, tokens, alignment, groups, vocab, chunk):
+def make_chunk_residuals(features, kernel, bias, tokens, alignment, groups, chunk):
+    """Pad/regroup inputs into the residual layout _chunked_bwd consumes
+    (also used by the Pallas forward's custom VJP)."""
     b, t, d = features.shape
     slots = alignment * groups
     # tokens arrive as [B, T*A(+pad), G]; truncate and regroup per frame -> [B, T, A*G]
@@ -80,6 +82,16 @@ def _chunked_fwd(features, kernel, bias, tokens, alignment, groups, vocab, chunk
     if pad_t:
         features = jnp.pad(features, ((0, 0), (0, pad_t), (0, 0)))
         tok = jnp.pad(tok, ((0, 0), (0, pad_t), (0, 0)), constant_values=-1)
+    count = jnp.maximum((tok >= 0).sum(), 1)
+    return (features, kernel, bias, tok, count, b, t, d, pad_t)
+
+
+def _chunked_fwd(features, kernel, bias, tokens, alignment, groups, vocab, chunk):
+    res = make_chunk_residuals(features, kernel, bias, tokens, alignment,
+                               groups, chunk)
+    features, kernel, bias, tok, _, b, t, d, pad_t = res
+    slots = alignment * groups
+    n_chunks = features.shape[1] // chunk
     feat_cs = features.reshape(b, n_chunks, chunk, d).swapaxes(0, 1)
     tok_cs = tok.reshape(b, n_chunks, chunk, slots).swapaxes(0, 1)
 
@@ -97,7 +109,7 @@ def _chunked_fwd(features, kernel, bias, tokens, alignment, groups, vocab, chunk
     (total, count), _ = jax.lax.scan(
         body, (jnp.float32(0.0), jnp.int32(0)), (feat_cs, tok_cs))
     loss = total / jnp.maximum(count, 1).astype(jnp.float32)
-    return loss, (features, kernel, bias, tok, jnp.maximum(count, 1), b, t, d, pad_t)
+    return loss, res
 
 
 def _chunked_bwd(alignment, groups, vocab, chunk, res, g):
