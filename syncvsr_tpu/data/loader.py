@@ -109,6 +109,7 @@ def pad_word_collate(num_frames: int, tokens_per_frame_rows: int,
         tokens = np.full((n, tokens_per_frame_rows, vq_groups), -1, np.int32)
         labels = np.zeros((n,), np.int32)
         masks = np.zeros((n, t), np.float32) if "word_mask" in first else None
+        attn = np.zeros((n, t), np.float32) if "attention_mask" in first else None
         for i, s in enumerate(samples):
             ti = min(s["inputs"].shape[0], t)
             arr[i, :ti] = s["inputs"][:ti]
@@ -117,9 +118,13 @@ def pad_word_collate(num_frames: int, tokens_per_frame_rows: int,
             labels[i] = s["labels"]
             if masks is not None:
                 masks[i, :ti] = s["word_mask"][:ti]
+            if attn is not None:
+                attn[i, :ti] = s["attention_mask"][:ti]
         out = {"inputs": arr, "labels": labels, "audio_tokens": tokens}
         if masks is not None:
             out["word_mask"] = masks
+        if attn is not None:
+            out["attention_mask"] = attn
         return out
 
     return collate

@@ -151,3 +151,54 @@ class LRWLandmarkDataset:
 def glob_lrw_files(root: str, split: str, ext: str = "pkl") -> List[str]:
     """<root>/<WORD>/<split>/<WORD>_<id>.<ext> (LRW directory layout)."""
     return sorted(glob.glob(os.path.join(root, "*", split, f"*.{ext}")))
+
+
+# ---------------------------------------------------------------------------
+# DC-TCN training augmentations (reference LRW/video/src/data.py:83-106)
+# ---------------------------------------------------------------------------
+
+def dctcn_mask_frames(rng: np.random.RandomState, sample: Dict[str, np.ndarray],
+                      max_time_masks: int = 15) -> None:
+    """Mean-fill a random temporal span of the video (in place)."""
+    video = sample["inputs"]
+    length = rng.randint(max(max_time_masks, 1))
+    if length == 0:
+        return
+    offset = rng.randint(video.shape[0] - length)
+    fill = video.mean()
+    video = video.astype(np.float32, copy=True)
+    video[offset:offset + length] = fill
+    sample["inputs"] = video
+
+
+def dctcn_trim_frames(rng: np.random.RandomState,
+                      sample: Dict[str, np.ndarray],
+                      audio_alignment: int = 4) -> None:
+    """Random roll + truncate of video/tokens/word_mask keeping the word
+    inside; emits/updates attention_mask (in place)."""
+    video = sample["inputs"]
+    t = video.shape[0]
+    word_mask = sample["word_mask"]
+    boundary = int(word_mask.sum())
+    if boundary >= t:
+        sample.setdefault("attention_mask", np.ones(t, np.float32))
+        return
+    truncated = rng.randint(boundary, t)
+    offset = rng.randint(truncated - boundary + 1)
+    shift = int(offset - (t - boundary) // 2)
+
+    sample["inputs"] = np.roll(video, shift, axis=0)
+    sample["inputs"][truncated:] = 0
+
+    tokens = sample["audio_tokens"]
+    tok_rows = min(t * audio_alignment, tokens.shape[0])
+    rolled = np.roll(tokens[:tok_rows], shift * audio_alignment, axis=0)
+    rolled[truncated * audio_alignment:] = 0
+    sample["audio_tokens"] = np.concatenate([rolled, tokens[tok_rows:]], axis=0)
+
+    sample["word_mask"] = np.roll(word_mask, shift, axis=0)
+    sample["word_mask"][truncated:] = 0
+
+    am = sample.get("attention_mask", np.ones(t, np.float32))
+    sample["attention_mask"] = np.roll(am, shift, axis=0)
+    sample["attention_mask"][truncated:] = 0

@@ -16,12 +16,14 @@ Array = jax.Array
 
 def make_beam_decoder(model, variables: Dict[str, Any],
                       config: BeamSearchConfig,
-                      max_len: Optional[int] = None):
+                      max_len: Optional[int] = None,
+                      lm=None, lm_variables: Optional[Dict[str, Any]] = None):
     """Builds a jitted single-utterance decoder.
 
     Returns fn(videos [1, T, ...], length) -> (tokens [L], n_tokens, score),
     mirroring the reference's per-utterance test loop
-    (LRS/video/lightning.py:114-129) but fully compiled.
+    (LRS/video/lightning.py:114-129) but fully compiled. Pass an LM module
+    (models.lm) + its variables and set config.lm_weight for shallow fusion.
     """
     vocab = model.cfg.labels
 
@@ -32,13 +34,22 @@ def make_beam_decoder(model, variables: Dict[str, Any],
     def init_cache(w, l):
         return model.apply(variables, w, l, method="decoder_init_cache")
 
+    lm_step = lm_init = None
+    if lm is not None and config.lm_weight != 0.0:
+        def lm_step(y_prev, pos, state):
+            return lm.apply(lm_variables, y_prev, pos, state, method="step")
+
+        def lm_init(w):
+            return lm.apply(lm_variables, w, method="init_cache")
+
     @jax.jit
     def decode(videos: Array, length: Array) -> Tuple[Array, Array, Array]:
         enc = model.apply(variables, videos, length[None], det=True,
                           method="encode")[0]              # [T, D]
         ctc_logp = model.apply(variables, enc[None], method="ctc_log_probs")[0]
         return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
-                           vocab, config, max_len=max_len)
+                           vocab, config, max_len=max_len,
+                           lm_step=lm_step, lm_init=lm_init)
 
     return decode
 

@@ -23,7 +23,7 @@ from syncvsr_tpu.models.dense_tcn import DenseTCN
 from syncvsr_tpu.models.frontend import build_frontend
 from syncvsr_tpu.models.layers import trunc_normal
 from syncvsr_tpu.models.transformer import TransformerEncoder
-from syncvsr_tpu.ops.cutmix import temporal_cutmix
+from syncvsr_tpu.ops.cutmix import batch_mixup, temporal_cutmix
 from syncvsr_tpu.ops.sync_loss import sync_cross_entropy
 
 Array = jax.Array
@@ -77,7 +77,9 @@ class WordVSRModel(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: Array, labels: Array, audio_tokens: Array,
-                 word_mask: Optional[Array] = None, det: bool = True) -> Dict[str, Array]:
+                 word_mask: Optional[Array] = None,
+                 attention_mask: Optional[Array] = None,
+                 det: bool = True) -> Dict[str, Array]:
         cfg = self.cfg
         enc = cfg.encoder
         codec = cfg.codec
@@ -92,6 +94,10 @@ class WordVSRModel(nn.Module):
         # (reference training.py:54)
         t_in = inputs.shape[1]
         audio_tokens = audio_tokens[:, : t_in * codec.audio_alignment]
+
+        if enc.kind == "dense_tcn":
+            return self._dense_tcn_path(inputs, onehot, audio_tokens,
+                                        word_mask, attention_mask, det)
         if not det:
             onehot = smooth_labels(onehot, cfg.label_smoothing)
             if self.use_cutmix and self.cutmix_alpha > 0:
@@ -105,9 +111,6 @@ class WordVSRModel(nn.Module):
         if hidden.shape[-1] != enc.dim:
             hidden = nn.Dense(enc.dim, kernel_init=trunc_normal(), dtype=dtype,
                               param_dtype=jnp.float32, name="frontend_proj")(hidden)
-
-        if enc.kind == "dense_tcn":
-            return self._dense_tcn_path(hidden, onehot, audio_tokens, word_mask, det)
 
         # word-boundary channel widens the stream by 1 (modeling.py:44-48)
         if cfg.use_word_boundary:
@@ -147,11 +150,26 @@ class WordVSRModel(nn.Module):
         return {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
                 "acc1": acc1, "acc5": acc5}
 
-    def _dense_tcn_path(self, hidden, onehot, audio_tokens, word_mask, det):
+    def _dense_tcn_path(self, inputs, onehot, audio_tokens, word_mask,
+                        attention_mask, det):
+        """DC-TCN family (reference DCTCNLightningModule,
+        LRW/video/src/lightning.py:226-312): batch mixup on raw videos (word
+        boundaries NOT mixed), frontend + boundary-concat + DenseTCN,
+        attention-masked mean pooling, and both word/audio losses lerped
+        between own and rolled-batch targets by the mixup weight."""
         cfg = self.cfg
         enc = cfg.encoder
         codec = cfg.codec
         dtype = self.dtype
+
+        lam = jnp.asarray(0.0, jnp.float32)
+        if not det and self.cutmix_alpha > 0:
+            inputs, lam = batch_mixup(self.make_rng("mixup"), inputs,
+                                      self.cutmix_alpha)
+
+        frontend = build_frontend(cfg.frontend, dtype, embed_dim=enc.dim,
+                                  name="frontend")
+        hidden = frontend(inputs, train=not det)  # [B, T, D]
         if cfg.use_word_boundary and word_mask is not None:
             hidden = jnp.concatenate(
                 (hidden, word_mask[:, :, None].astype(dtype)), axis=-1)
@@ -160,13 +178,29 @@ class WordVSRModel(nn.Module):
             kernel_sizes=enc.tcn_kernel_sizes, dilations=enc.tcn_dilations,
             reduced_size=enc.tcn_reduced_size, use_se=enc.tcn_se,
             dtype=dtype, name="encoder")(hidden, train=not det)  # [B, T, C]
-        pooled = feats.mean(axis=1).astype(jnp.float32)
+
+        if attention_mask is None:
+            attention_mask = jnp.ones(feats.shape[:2], jnp.float32)
+        am = attention_mask.astype(jnp.float32)[:, :, None]
+        pooled = (feats.astype(jnp.float32) * am).sum(1) / (am.sum(1) + 1e-6)
         logits = nn.Dense(cfg.labels, kernel_init=trunc_normal(), dtype=jnp.float32,
                           param_dtype=jnp.float32, name="category_classifier")(pooled)
-        loss_word = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1))
+
+        logp = jax.nn.log_softmax(logits)
+        ce = lambda tgt: -jnp.mean(jnp.sum(tgt * logp, axis=-1))
         sync = SyncHead(codec.audio_alignment, codec.vq_groups,
                         codec.audio_vocab_size, name="audio_classifier")
-        loss_audio = sync(feats.astype(jnp.float32), audio_tokens)
+        f32 = feats.astype(jnp.float32)
+        mixing = (not det) and self.cutmix_alpha > 0
+        if mixing:
+            loss_word = ((1.0 - lam) * ce(onehot)
+                         + lam * ce(jnp.roll(onehot, 1, axis=0)))
+            loss_audio = ((1.0 - lam) * sync(f32, audio_tokens)
+                          + lam * sync(f32, jnp.roll(audio_tokens, 1, axis=0)))
+        else:
+            loss_word = ce(onehot)
+            loss_audio = sync(f32, audio_tokens)
+
         loss = loss_word + cfg.sync_lambda * loss_audio
         hard = jnp.argmax(onehot, axis=-1)
         acc1 = (jnp.argmax(logits, axis=-1) == hard).mean()
