@@ -116,6 +116,7 @@ class ModelConfig:
     label_smoothing: float = 0.0
     sync_lambda: float = 10.0
     dtype: str = "bfloat16"         # compute dtype; params stay float32
+    remat: bool = False             # rematerialize encoder blocks (1800-frame clips)
 
 
 @dataclass
@@ -318,6 +319,20 @@ def lrw_dctcn_config() -> Config:
     return c
 
 
+def lrw1000_config() -> Config:
+    """LRW-1000 Mandarin word-level: 1000 classes, wav2vec2 codec
+    (kehanlu/mandarin-wav2vec2 per e2e_asr_transformer.py:145-147), no word
+    boundary (data.py:64-66), variable-length clips padded to 40 frames."""
+    c = lrw_video_config()
+    c.name = "lrw1000"
+    c.model.labels = 1000
+    c.model.codec = CodecConfig.wav2vec2()
+    c.model.use_word_boundary = False
+    c.data.num_frames = 40
+    c.data.dataset = "lrw1000"
+    return c
+
+
 def lrs3_config() -> Config:
     """LRS3 sentence recipe (lrs3.yaml: conformer 12L x 768d, 12 heads, k=31;
     decoder 6L; mtlalpha 0.1; audio_weight 10; 500k steps / 25k warmup, bs 16)."""
@@ -353,6 +368,7 @@ PRESETS = {
     "lrw_landmark": lrw_landmark_config,
     "lrw_video": lrw_video_config,
     "lrw_dctcn": lrw_dctcn_config,
+    "lrw1000": lrw1000_config,
     "lrs3": lrs3_config,
     "lrs2": lrs2_config,
 }

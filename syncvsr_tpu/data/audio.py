@@ -1,0 +1,54 @@
+"""Audio-side utilities for the audio/audio-visual experiment paths.
+
+* ``pydub_to_np`` equivalent: raw PCM bytes -> float waveform (reference
+  LRS/video/preprocess/utils.py:13-21 without the pydub dependency).
+* ``AddNoise``: babble-noise injection at a sampled SNR (reference
+  LRS/video/datamodule/transforms.py:67-86) for the audio-backbone configs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def pcm_to_float(pcm: bytes, sample_width: int = 2, channels: int = 1
+                 ) -> np.ndarray:
+    """Interleaved signed PCM bytes -> [S] (or [S, C]) float32 in [-1, 1]."""
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[sample_width]
+    x = np.frombuffer(pcm, dtype=dtype).astype(np.float32)
+    x /= float(np.iinfo(dtype).max)
+    if channels > 1:
+        x = x.reshape(-1, channels)
+    return x
+
+
+class AddNoise:
+    """Add babble noise at an SNR drawn from ``snr_levels`` (dB). A target of
+    >= 999999 dB (the reference's clean setting, lrs3.yaml decode.snr_target)
+    returns the input unchanged."""
+
+    def __init__(self, noise: np.ndarray,
+                 snr_levels: Sequence[float] = (-5, 0, 5, 10, 15, 20, 999999),
+                 rng: Optional[np.random.RandomState] = None):
+        self.noise = np.asarray(noise, np.float32).reshape(-1)
+        self.snr_levels = tuple(snr_levels)
+        self.rng = rng or np.random.RandomState(0)
+
+    def __call__(self, speech: np.ndarray,
+                 snr_target: Optional[float] = None) -> np.ndarray:
+        speech = np.asarray(speech, np.float32)
+        snr = snr_target if snr_target is not None \
+            else self.snr_levels[self.rng.randint(len(self.snr_levels))]
+        if snr >= 999999:
+            return speech
+        n = speech.reshape(-1).shape[0]
+        assert self.noise.shape[0] >= n, "noise clip shorter than speech"
+        start = self.rng.randint(self.noise.shape[0] - n + 1)
+        noise = self.noise[start:start + n].reshape(speech.shape)
+
+        p_speech = np.mean(speech ** 2) + 1e-12
+        p_noise = np.mean(noise ** 2) + 1e-12
+        scale = np.sqrt(p_speech / (p_noise * 10.0 ** (snr / 10.0)))
+        return speech + scale * noise

@@ -58,7 +58,8 @@ class SentenceVSRModel(nn.Module):
             layers=enc.layers, dim=enc.dim, heads=enc.heads,
             hidden=int(enc.hidden_ratio * enc.dim), conv_kernel=enc.conv_kernel,
             macaron=enc.macaron, dropout=enc.mlp_dropout,
-            attn_dropout=enc.msa_dropout, dtype=self.dtype, name="encoder")
+            attn_dropout=enc.msa_dropout, remat=cfg.remat, dtype=self.dtype,
+            name="encoder")
         self.ctc_head = nn.Dense(cfg.labels, dtype=jnp.float32,
                                  param_dtype=jnp.float32, name="ctc_head")
         self.decoder = TransformerDecoder(

@@ -132,7 +132,8 @@ class WordVSRModel(nn.Module):
             hidden=int(enc.hidden_ratio * enc.dim),
             use_rmsnorm=enc.use_rmsnorm, use_glu=enc.use_glu, rope=enc.rope,
             msa_dropout=enc.msa_dropout, mlp_dropout=enc.mlp_dropout,
-            droppath=enc.droppath, dtype=dtype, name="encoder")(hidden, det=det)
+            droppath=enc.droppath, remat=cfg.remat, dtype=dtype,
+            name="encoder")(hidden, det=det)
 
         logits = nn.Dense(cfg.labels, kernel_init=trunc_normal(), dtype=jnp.float32,
                           param_dtype=jnp.float32, name="category_classifier")(
