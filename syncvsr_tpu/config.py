@@ -355,6 +355,15 @@ def lrs3_config() -> Config:
     return c
 
 
+def lrs3_audio_config() -> Config:
+    """Audio-backbone sentence ASR (lrs3.yaml model.audio_backbone: conv1d
+    ResNet frontend over raw 16 kHz waveform, same conformer/decoder/loss)."""
+    c = lrs3_config()
+    c.name = "lrs3_audio"
+    c.model.frontend = FrontendConfig(kind="conv1d_resnet", out_dim=512)
+    return c
+
+
 def lrs2_config() -> Config:
     """LRS2 variant (lrs2.yaml: 450k steps / 15k warmup)."""
     c = lrs3_config()
@@ -370,5 +379,6 @@ PRESETS = {
     "lrw_dctcn": lrw_dctcn_config,
     "lrw1000": lrw1000_config,
     "lrs3": lrs3_config,
+    "lrs3_audio": lrs3_audio_config,
     "lrs2": lrs2_config,
 }

@@ -75,19 +75,26 @@ class SentenceVSRModel(nn.Module):
                                          param_dtype=jnp.float32, name="proj_decoder")
         self.ctc_dropout = nn.Dropout(enc.mlp_dropout)
 
+    def frame_lengths(self, inputs: Array, lengths: Array) -> Array:
+        """Sample counts -> frame counts for the raw-audio frontend
+        (reference divides by 640 at 16 kHz, e2e_asr_transformer.py:187-188)."""
+        if self.cfg.frontend.kind == "conv1d_resnet":
+            return lengths // 640
+        return lengths
+
     def encode(self, videos: Array, lengths: Array, det: bool = True) -> Array:
         """Frontend + conformer; returns [B, T, adim] (decoding entry point)."""
         feats = self.frontend(videos, train=not det)
-        pad_mask = length_mask(lengths, feats.shape[1])
+        pad_mask = length_mask(self.frame_lengths(videos, lengths), feats.shape[1])
         return self.encoder(feats, pad_mask, det=det)
 
     def __call__(self, videos: Array, lengths: Array, labels: Array,
                  audio_tokens: Array, det: bool = True) -> Dict[str, Array]:
         cfg = self.cfg
-        t = videos.shape[1]
-        pad_mask = length_mask(lengths, t)
-
         x = self.encode(videos, lengths, det=det)
+        t = x.shape[1]  # encoder frames (== samples // 640 for raw audio)
+        lengths = self.frame_lengths(videos, lengths)
+        pad_mask = length_mask(lengths, t)
 
         # ---- frame-level audio sync loss (padded frames masked out) --------
         audio_tokens = audio_tokens[:, : t * cfg.codec.audio_alignment]

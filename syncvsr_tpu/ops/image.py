@@ -135,7 +135,8 @@ def build_word_aug(data_cfg):
         v = random_resized_crop(r2, v, data_cfg.crop_size, data_cfg.rrc_scale)
         v = time_mask(r3, v, data_cfg.time_mask_window, data_cfg.time_mask_stride)
         v = normalize(v, data_cfg.mean, data_cfg.std)
-        return dict(batch, inputs=v)
+        # emit compute dtype: halves the HBM round trip into the stem
+        return dict(batch, inputs=v.astype(jnp.bfloat16))
 
     return aug
 

@@ -150,3 +150,32 @@ def test_sentence_train_step(mesh8):
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_audio_backbone_path():
+    """Raw-audio conv1d frontend: lengths in samples -> frames (//640)."""
+    config = tiny_sentence_config(**{
+        "model.frontend.kind": "conv1d_resnet", "model.frontend.resnet_width": 8})
+    model = build_model(config)
+    rng = np.random.RandomState(0)
+    b, t = 4, 8
+    s = t * 640
+    lengths = np.full((b,), s, np.int32)
+    lengths[1] = 5 * 640
+    batch = {
+        "videos": rng.randn(b, s).astype(np.float32) * 0.1,
+        "lengths": jnp.asarray(lengths),
+        "labels": jnp.asarray([[1, 2, -1]] * b),
+        "audio_tokens": jnp.asarray(
+            rng.randint(0, 11, (b, t * 4 + 4, 2)), jnp.int32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    from syncvsr_tpu.engine import create_train_state
+
+    state = create_train_state(config, model, batch)
+    m = state.apply_fn({"params": state.params, "batch_stats": state.batch_stats},
+                       **batch, det=True)
+    assert np.isfinite(float(m["loss"]))
+    enc = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                      batch["videos"], batch["lengths"], det=True, method="encode")
+    assert enc.shape[1] == t  # 640 samples -> 1 frame
