@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from syncvsr_tpu.data.lrw import _torch_load, decode_jpeg_gray
+from syncvsr_tpu.data.lrw import _torch_load, decode_clip
 from syncvsr_tpu.data.tokenizer import TextTransform
 
 
@@ -59,7 +59,7 @@ class LRSDataset:
             end = start + wlen
             text = self._window_text(data, start, end, text)
 
-        video = np.stack([decode_jpeg_gray(b) for b in jpegs[start:end]])
+        video = decode_clip(jpegs[start:end])
         tokens_key = f"{self.codec}_tokens"
         if tokens_key in data:
             tokens = np.asarray(data[tokens_key]).squeeze()

@@ -43,6 +43,14 @@ def decode_jpeg_gray(jpeg_bytes: bytes) -> np.ndarray:
     return img[..., None]  # [H, W, 1]
 
 
+def decode_clip(jpegs) -> np.ndarray:
+    """Whole-clip decode via the native threaded batch decoder (data/jpeg.py),
+    cv2 fallback inside. Returns uint8 [T, H, W, 1]."""
+    from syncvsr_tpu.data.jpeg import decode_gray_batch
+
+    return decode_gray_batch(jpegs)
+
+
 def load_durations(path: str):
     import pandas as pd
 
@@ -74,7 +82,7 @@ class LRWVideoDataset:
         data = _torch_load(path)
         label = self.labels.index(path.split(os.sep)[-3])
 
-        video = np.stack([decode_jpeg_gray(b) for b in data["video"]])  # [T,H,W,1]
+        video = decode_clip(data["video"])  # [T, H, W, 1]
         t = video.shape[0]
 
         if self.audio_root is not None:

@@ -174,3 +174,21 @@ def test_tokenizer_roundtrip_and_contract():
         ids = tt.tokenize(text)
         assert (ids > 0).all() and (ids < tt.vocab_size - 1).all()
         assert tt.post_process(ids) == text
+
+
+def test_native_jpeg_batch_decoder():
+    from syncvsr_tpu.data.jpeg import decode_gray_batch, jpeg_dimensions
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (20, 24), np.uint8) for _ in range(8)]
+    jpgs = [cv2.imencode(".jpg", im)[1].tobytes() for im in imgs]
+    assert jpeg_dimensions(jpgs[0]) == (20, 24)
+    out = decode_gray_batch(jpgs)
+    ref = np.stack([cv2.imdecode(np.frombuffer(b, np.uint8),
+                                 cv2.IMREAD_GRAYSCALE) for b in jpgs])[..., None]
+    np.testing.assert_array_equal(out, ref)
+    # padding path: request a larger canvas
+    out2 = decode_gray_batch(jpgs, height=24, width=30)
+    assert out2.shape == (8, 24, 30, 1)
+    np.testing.assert_array_equal(out2[:, :20, :24, :], ref)
+    assert (out2[:, 20:, :, :] == 0).all() and (out2[:, :, 24:, :] == 0).all()
