@@ -46,10 +46,42 @@ def make_beam_decoder(model, variables: Dict[str, Any],
     def decode(videos: Array, length: Array) -> Tuple[Array, Array, Array]:
         enc = model.apply(variables, videos, length[None], det=True,
                           method="encode")[0]              # [T, D]
+        flen = model.apply(variables, videos, length[None],
+                           method="frame_lengths")[0]
         ctc_logp = model.apply(variables, enc[None], method="ctc_log_probs")[0]
-        return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
+        return beam_search(decoder_step, init_cache, enc, flen, ctc_logp,
                            vocab, config, max_len=max_len,
                            lm_step=lm_step, lm_init=lm_init)
+
+    return decode
+
+
+def make_batched_beam_decoder(model, variables: Dict[str, Any],
+                              config: BeamSearchConfig,
+                              max_len: int):
+    """vmap the compiled beam search over a batch of utterances — every shape
+    inside the search is static, so the whole batch decodes in one XLA program
+    (the reference decodes one utterance at a time, data_module.py:104).
+    ``max_len`` must be fixed (the padded/bucketed frame count)."""
+    vocab = model.cfg.labels
+
+    def decoder_step(y_prev, pos, cache, memory, memory_mask):
+        return model.apply(variables, y_prev, pos, cache, memory, memory_mask,
+                           method="decoder_step")
+
+    def init_cache(w, l):
+        return model.apply(variables, w, l, method="decoder_init_cache")
+
+    def one(enc, length, ctc_logp):
+        return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
+                           vocab, config, max_len=max_len)
+
+    @jax.jit
+    def decode(videos: Array, lengths: Array):
+        enc = model.apply(variables, videos, lengths, det=True, method="encode")
+        flens = model.apply(variables, videos, lengths, method="frame_lengths")
+        ctc_logp = model.apply(variables, enc, method="ctc_log_probs")
+        return jax.vmap(one)(enc, flens, ctc_logp)
 
     return decode
 
@@ -60,7 +92,8 @@ def make_greedy_ctc_decoder(model, variables: Dict[str, Any]):
     @jax.jit
     def decode(videos: Array, lengths: Array) -> Tuple[Array, Array]:
         enc = model.apply(variables, videos, lengths, det=True, method="encode")
+        flens = model.apply(variables, videos, lengths, method="frame_lengths")
         ctc_logp = model.apply(variables, enc, method="ctc_log_probs")
-        return ctc_greedy_decode(ctc_logp, lengths)
+        return ctc_greedy_decode(ctc_logp, flens)
 
     return decode

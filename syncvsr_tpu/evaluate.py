@@ -25,7 +25,10 @@ from syncvsr_tpu.decode import BeamSearchConfig
 from syncvsr_tpu.decode.api import make_beam_decoder, make_greedy_ctc_decoder
 from syncvsr_tpu.engine import build_eval_step, create_train_state
 from syncvsr_tpu.models import build_model
-from syncvsr_tpu.ops.image import build_eval_transform
+from syncvsr_tpu.ops.image import (
+    build_eval_transform,
+    build_sentence_eval_transform,
+)
 from syncvsr_tpu.parallel import create_mesh, shard_batch
 from syncvsr_tpu.utils import checkpoint as ckpt
 from syncvsr_tpu.utils.metrics import AverageMeter
@@ -43,8 +46,12 @@ def main():
     model = build_model(config)
     _, eval_loader = build_loaders(config)
     example = next(iter(eval_loader))
-    eval_transform = build_eval_transform(config.data)
-    init_example = eval_transform(example) if config.model.task == "word" else example
+    if config.model.task == "word":
+        eval_transform = build_eval_transform(config.data)
+    else:
+        eval_transform = build_sentence_eval_transform(config.data,
+                                                       config.data.dataset)
+    init_example = eval_transform(example)
     state = create_train_state(
         config, model, {k: jnp.asarray(v) for k, v in init_example.items()})
     if ckpt_path:
@@ -72,30 +79,44 @@ def main():
 
     tt = TextTransform()
     wer = WordErrorRate()
+    hyp_records = []
+
+    def record(ref, hyp, score=None):
+        wer.update(ref, hyp)
+        hyp_records.append({"ref": ref, "hyp": hyp,
+                            **({"score": score} if score is not None else {})})
+
     if decode_mode == "beam":
         decode = make_beam_decoder(
             model, variables,
             BeamSearchConfig(beam_size=beam_size,
                              ctc_weight=config.model.mtlalpha))
         for batch in eval_loader:
+            batch = eval_transform(batch)
             for i in range(batch["videos"].shape[0]):
-                toks, n, _ = decode(jnp.asarray(batch["videos"][i:i + 1]),
-                                    jnp.asarray(batch["lengths"][i]))
+                toks, n, score = decode(jnp.asarray(batch["videos"][i:i + 1]),
+                                        jnp.asarray(batch["lengths"][i]))
                 hyp = tt.post_process(np.asarray(toks)[: int(n)])
-                ref = tt.post_process(batch["labels"][i])
-                wer.update(ref, hyp)
+                ref = tt.post_process(np.asarray(batch["labels"][i]))
+                record(ref, hyp, float(score))
     else:
         decode = make_greedy_ctc_decoder(model, variables)
         for batch in eval_loader:
+            batch = eval_transform(batch)
             toks, lens = decode(jnp.asarray(batch["videos"]),
                                 jnp.asarray(batch["lengths"]))
             for i in range(batch["videos"].shape[0]):
                 hyp = tt.post_process(np.asarray(toks)[i][: int(lens[i])])
-                ref = tt.post_process(batch["labels"][i])
-                wer.update(ref, hyp)
+                ref = tt.post_process(np.asarray(batch["labels"][i]))
+                record(ref, hyp)
+    # per-utterance hypothesis dump (asr_utils.add_results_to_json role)
+    with open("hypotheses.jsonl", "w") as f:
+        for r in hyp_records:
+            f.write(json.dumps(r) + "\n")
     print(json.dumps({"test/wer": wer.wer,
                       "test/edit_distance": wer.total_edit_distance,
-                      "test/words": wer.total_length}))
+                      "test/words": wer.total_length,
+                      "hypotheses": "hypotheses.jsonl"}))
 
 
 if __name__ == "__main__":

@@ -152,3 +152,42 @@ def build_eval_transform(data_cfg):
         return dict(batch, inputs=v)
 
     return transform
+
+
+def build_sentence_aug(data_cfg):
+    """LRS train-time pipeline inside the jitted step (transforms.py:89-109:
+    x/255 -> RandomResizedCrop(96, 0.7-1.0) -> HFlip -> Grayscale(already) ->
+    AdaptiveTimeMask -> Normalize). Length-aware time masking."""
+
+    def aug(rng: Array, batch):
+        videos = batch["videos"]
+        if videos.ndim != 5:
+            return batch  # landmark/audio inputs pass through
+        r1, r2, r3 = jax.random.split(rng, 3)
+        v = to_float(videos)
+        v = random_resized_crop(r1, v, data_cfg.crop_size, (0.7, 1.0))
+        v = random_hflip(r2, v, 0.5)
+        if data_cfg.adaptive_time_mask:
+            v = time_mask(r3, v, max_span=10, n_masks=2, mean_fill=True,
+                          lengths=batch.get("lengths"))
+        v = normalize(v, data_cfg.mean, data_cfg.std)
+        return dict(batch, videos=v.astype(jnp.bfloat16))
+
+    return aug
+
+
+def build_sentence_eval_transform(data_cfg, dataset: str = "lrs3"):
+    """Eval: LRS3 resizes the full frame to 96, LRS2 center-crops
+    (av_dataset.py:30-41)."""
+    resize_first = dataset != "lrs2"
+
+    def transform(batch):
+        videos = batch["videos"]
+        if videos.ndim != 5:
+            return batch
+        v = to_float(videos)
+        v = center_crop_resize(v, data_cfg.crop_size, resize_first=resize_first)
+        v = normalize(v, data_cfg.mean, data_cfg.std)
+        return dict(batch, videos=v)
+
+    return transform

@@ -29,7 +29,12 @@ from syncvsr_tpu.data.factory import build_loaders
 from syncvsr_tpu.engine import build_eval_step, build_train_step, create_train_state
 from syncvsr_tpu.engine.state import param_count
 from syncvsr_tpu.models import build_model
-from syncvsr_tpu.ops.image import build_eval_transform, build_word_aug
+from syncvsr_tpu.ops.image import (
+    build_eval_transform,
+    build_sentence_aug,
+    build_sentence_eval_transform,
+    build_word_aug,
+)
 from syncvsr_tpu.parallel import create_mesh, shard_batch
 from syncvsr_tpu.utils import checkpoint as ckpt
 from syncvsr_tpu.utils.metrics import AverageMeter, MetricLogger
@@ -62,9 +67,14 @@ def train(config: Config) -> Dict[str, float]:
     train_loader, eval_loader = build_loaders(config)
 
     example = next(iter(train_loader))
-    eval_transform = build_eval_transform(config.data)
-    aug_fn = build_word_aug(config.data) if config.model.task == "word" else None
-    init_example = eval_transform(example) if config.model.task == "word" else example
+    if config.model.task == "word":
+        eval_transform = build_eval_transform(config.data)
+        aug_fn = build_word_aug(config.data)
+    else:
+        eval_transform = build_sentence_eval_transform(config.data,
+                                                       config.data.dataset)
+        aug_fn = build_sentence_aug(config.data)
+    init_example = eval_transform(example)
     state = create_train_state(
         config, model, {k: jnp.asarray(v) for k, v in init_example.items()})
     if jax.process_index() == 0:
@@ -101,8 +111,7 @@ def train(config: Config) -> Dict[str, float]:
     def run_eval() -> Dict[str, float]:
         em = AverageMeter()
         for batch in eval_loader:
-            if config.model.task == "word":
-                batch = eval_transform(batch)
+            batch = eval_transform(batch)
             em.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))))
         return em.summary("val/")
 

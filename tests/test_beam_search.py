@@ -202,3 +202,31 @@ def test_overfit_and_decode():
     gtoks, glens = greedy(jb["videos"], jb["lengths"])
     ggot = [int(x) for x in np.asarray(gtoks)[0][: int(glens[0])]]
     assert ggot == target, f"greedy decoded {ggot} != target {target}"
+
+
+def test_batched_beam_matches_single():
+    """vmap'd batched beam decode == per-utterance decode."""
+    import numpy as np
+    from syncvsr_tpu.engine import create_train_state
+    from syncvsr_tpu.models import build_model
+    from tests.test_sentence_model import tiny_batch, tiny_sentence_config
+    from syncvsr_tpu.decode.api import make_batched_beam_decoder, make_beam_decoder
+
+    config = tiny_sentence_config()
+    model = build_model(config)
+    batch = tiny_batch(config, b=3, t=10, seed=11)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_train_state(config, model, jb)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    cfg = BeamSearchConfig(beam_size=5, ctc_weight=0.1)
+
+    single = make_beam_decoder(model, variables, cfg, max_len=10)
+    batched = make_batched_beam_decoder(model, variables, cfg, max_len=10)
+
+    btoks, blens, bscores = batched(jb["videos"], jb["lengths"])
+    for i in range(3):
+        toks, n, score = single(jb["videos"][i:i + 1], jb["lengths"][i])
+        got_b = [int(x) for x in np.asarray(btoks)[i][: int(blens[i])]]
+        got_s = [int(x) for x in np.asarray(toks)[: int(n)]]
+        assert got_b == got_s, f"utt {i}: batched {got_b} != single {got_s}"
+        np.testing.assert_allclose(float(bscores[i]), float(score), rtol=1e-4)

@@ -1,0 +1,36 @@
+"""SPMD correctness: the 8-device data-parallel step must match the
+single-device step numerically (same rngs, same global batch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syncvsr_tpu.data.synthetic import word_batch
+from syncvsr_tpu.engine import build_train_step, create_train_state
+from syncvsr_tpu.models import build_model
+from syncvsr_tpu.parallel import shard_batch
+from tests.test_word_model import tiny_landmark_config
+
+
+def test_mesh_step_matches_single_device(mesh8):
+    config = tiny_landmark_config()
+    model = build_model(config)
+    batch = word_batch(config)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state_a = create_train_state(config, model, jb)
+    state_b = create_train_state(config, model, jb)
+
+    step_single = build_train_step(mesh=None, donate=False)
+    step_mesh = build_train_step(mesh8, donate=False)
+
+    for i in range(3):
+        state_a, ma = step_single(state_a, jb)
+        state_b, mb = step_mesh(state_b, shard_batch(mesh8, batch))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
