@@ -93,7 +93,14 @@ class WordVSRModel(nn.Module):
         # truncate tokens to the temporally aligned window before any mixing
         # (reference training.py:54)
         t_in = inputs.shape[1]
-        audio_tokens = audio_tokens[:, : t_in * codec.audio_alignment]
+        need = t_in * codec.audio_alignment
+        if audio_tokens.shape[1] < need:
+            raise ValueError(
+                f"audio_tokens has {audio_tokens.shape[1]} rows but "
+                f"{need} are required ({t_in} frames x alignment "
+                f"{codec.audio_alignment}); check the codec config against "
+                f"the token pkls")
+        audio_tokens = audio_tokens[:, :need]
 
         if enc.kind == "dense_tcn":
             return self._dense_tcn_path(inputs, onehot, audio_tokens,

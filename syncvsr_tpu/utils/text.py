@@ -24,6 +24,32 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
     return prev[n]
 
 
+class ErrorCalculator:
+    """CER + WER accumulation (espnet e2e_asr_common.py:101-250 equivalent)."""
+
+    def __init__(self):
+        self.char_edits = 0
+        self.char_total = 0
+        self.word_edits = 0
+        self.word_total = 0
+
+    def update(self, ref_text: str, hyp_text: str):
+        ref_chars = list(ref_text.replace(" ", ""))
+        hyp_chars = list(hyp_text.replace(" ", ""))
+        self.char_edits += edit_distance(ref_chars, hyp_chars)
+        self.char_total += len(ref_chars)
+        self.word_edits += edit_distance(ref_text.split(), hyp_text.split())
+        self.word_total += len(ref_text.split())
+
+    @property
+    def cer(self) -> float:
+        return self.char_edits / max(self.char_total, 1)
+
+    @property
+    def wer(self) -> float:
+        return self.word_edits / max(self.word_total, 1)
+
+
 class WordErrorRate:
     """Streaming WER accumulator (reference accumulates edit distance over the
     test epoch: LRS/video/lightning.py:127-128,233-234)."""

@@ -192,3 +192,12 @@ def test_native_jpeg_batch_decoder():
     assert out2.shape == (8, 24, 30, 1)
     np.testing.assert_array_equal(out2[:, :20, :24, :], ref)
     assert (out2[:, 20:, :, :] == 0).all() and (out2[:, :, 24:, :] == 0).all()
+
+
+def test_error_calculator_cer():
+    from syncvsr_tpu.utils.text import ErrorCalculator
+
+    ec = ErrorCalculator()
+    ec.update("HELLO WORLD", "HELLO WORD")
+    assert ec.wer == pytest.approx(1 / 2)
+    assert ec.cer == pytest.approx(1 / 10)
