@@ -185,6 +185,8 @@ class TrainConfig:
     wandb: bool = False
     remat: bool = False
     donate: bool = True
+    distributed: bool = False   # call jax.distributed.initialize() (multi-host)
+    tabulate: bool = False      # print the flax module summary at init
 
 
 @dataclass

@@ -50,6 +50,40 @@ class Sequential(Transform):
         return landmarks
 
 
+class Identity(Transform):
+    def apply(self, landmarks: Array) -> Array:
+        return landmarks
+
+
+class LeftCrop(Transform):
+    def __init__(self, length: int, **kw):
+        super().__init__(**kw)
+        self.length = length
+
+    def apply(self, x: Array) -> Array:
+        return x[: self.length]
+
+
+class GroupApply(Transform):
+    """Apply per-group transforms over contiguous landmark-index spans
+    (transform.py:57-76)."""
+
+    def __init__(self, transforms, lengths, **kw):
+        super().__init__(**kw)
+        if isinstance(transforms, Transform):
+            transforms = [transforms] * len(lengths)
+        self.transforms = transforms
+        self.lengths = lengths
+
+    def apply(self, x: Array) -> Array:
+        outs = []
+        offset = 0
+        for t, n in zip(self.transforms, self.lengths):
+            outs.append(t(x[:, offset:offset + n]))
+            offset += n
+        return np.concatenate(outs, axis=1)
+
+
 class Normalize(Transform):
     def __init__(self, max_value: Optional[float] = None, **kw):
         super().__init__(**kw)

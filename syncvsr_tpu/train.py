@@ -60,8 +60,10 @@ def monitored_metric(config: Config) -> str:
 
 
 def train(config: Config) -> Dict[str, float]:
-    if jax.process_count() > 1:
-        pass  # jax.distributed.initialize() is the launcher's responsibility
+    if config.train.distributed:
+        # multi-host pods: same call the reference makes at import
+        # (LRW/landmark/src/main.py:4-8)
+        jax.distributed.initialize()
     mesh = create_mesh(config.mesh.data, config.mesh.model)
     model = build_model(config)
     train_loader, eval_loader = build_loaders(config)
@@ -80,6 +82,12 @@ def train(config: Config) -> Dict[str, float]:
     if jax.process_index() == 0:
         print(f"[train] params: {param_count(state.params) / 1e6:.2f}M, "
               f"mesh: {mesh}, devices: {len(jax.devices())}")
+        if config.train.tabulate:
+            # model summary dump at init (reference training.py:163)
+            print(model.tabulate(
+                {"params": jax.random.PRNGKey(0)},
+                **{k: jnp.asarray(v) for k, v in init_example.items()},
+                det=True, depth=2))
 
     if config.train.pretrained:
         pre = ckpt.load_msgpack(config.train.pretrained)

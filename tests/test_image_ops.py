@@ -72,7 +72,7 @@ def test_word_aug_pipeline():
     batch = {"inputs": _videos(h=12, w=14), "labels": jnp.zeros((2,), jnp.int32)}
     out = jax.jit(aug)(jax.random.PRNGKey(0), batch)
     assert out["inputs"].shape == (2, 3, 8, 8, 1)
-    assert out["inputs"].dtype == jnp.float32
+    assert out["inputs"].dtype == jnp.bfloat16  # compute dtype for the stem
     # landmark batches pass through untouched
     lm = {"inputs": jnp.zeros((2, 3, 10)), "labels": jnp.zeros((2,), jnp.int32)}
     out2 = aug(jax.random.PRNGKey(0), lm)
