@@ -159,6 +159,7 @@ class OptimConfig:
     init_lr: float = 1e-6
     end_lr: float = 1e-5
     accum_steps: int = 1
+    skip_nonfinite: bool = False  # drop updates with non-finite grads (long runs)
 
 
 @dataclass

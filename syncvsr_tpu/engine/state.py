@@ -62,6 +62,8 @@ def make_optimizer(cfg: OptimConfig,
         return tx
 
     tx = _make(schedule)
+    if cfg.skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10)
     if cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, cfg.accum_steps)
     return tx
@@ -72,6 +74,8 @@ def current_lr(state: TrainState) -> jax.Array:
     opt_state = state.opt_state
     if isinstance(opt_state, optax.MultiStepsState):
         opt_state = opt_state.inner_opt_state
+    if isinstance(opt_state, optax.ApplyIfFiniteState):
+        opt_state = opt_state.inner_state
     return opt_state.hyperparams["lr"]
 
 

@@ -103,3 +103,46 @@ def test_video_model_smoke():
     leaf0 = jax.tree_util.tree_leaves(state.batch_stats)[0]
     leaf1 = jax.tree_util.tree_leaves(state2.batch_stats)[0]
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_skip_nonfinite_guard():
+    """apply_if_finite drops a poisoned update instead of corrupting params."""
+    config = tiny_landmark_config().override(**{"optim.skip_nonfinite": True})
+    model = build_model(config)
+    batch = {k: jnp.asarray(v) for k, v in word_batch(config).items()}
+    state = create_train_state(config, model, batch)
+    step = build_train_step(donate=False)
+    state1, m1 = step(state, batch)
+    assert "learning_rate" in m1 and float(m1["learning_rate"]) > 0
+    # poison the inputs -> nan loss; params must stay finite and unchanged
+    bad = dict(batch, inputs=batch["inputs"].at[0, 0, 0].set(jnp.nan))
+    state2, m2 = step(state1, bad)
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(l1, l2):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_video_model_overfits():
+    """The full video path (s2d stem + ResNet + transformer) must overfit a
+    tiny batch to high accuracy — learning dynamics, not just finite loss."""
+    config = lrw_video_config().override(**{
+        "model.encoder.layers": 2, "model.encoder.dim": 64, "model.encoder.heads": 2,
+        "model.encoder.droppath": 0.0, "model.encoder.msa_dropout": 0.0,
+        "model.encoder.mlp_dropout": 0.0, "model.encoder.emb_dropout": 0.0,
+        "model.labels": 5, "model.codec.audio_vocab_size": 7,
+        "model.sync_lambda": 1.0, "model.use_word_boundary": False,
+        "model.dtype": "float32", "data.batch_size": 4, "data.num_frames": 4,
+        "data.crop_size": 16, "data.use_cutmix": False,
+        "optim.lr": 2e-3, "optim.total_steps": 0, "optim.clip_norm": 1.0})
+    model = build_model(config)
+    batch = {k: jnp.asarray(v) for k, v in word_batch(config).items()}
+    state = create_train_state(config, model, batch)
+    step = build_train_step(donate=False)
+    for i in range(60):
+        state, m = step(state, batch)
+    eval_m = state.apply_fn({"params": state.params,
+                             "batch_stats": state.batch_stats}, **batch, det=True)
+    assert float(eval_m["acc1"]) == 1.0, f"failed to overfit: {eval_m}"
