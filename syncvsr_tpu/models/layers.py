@@ -42,9 +42,10 @@ class RMSNorm(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in f32, emitting compute dtype."""
+    """LayerNorm computed in f32, emitting compute dtype (eps 1e-6 = the flax
+    default the reference landmark stack uses)."""
 
-    eps: float = 1e-5
+    eps: float = 1e-6
     dtype: Dtype = jnp.float32
     use_bias: bool = True
 
