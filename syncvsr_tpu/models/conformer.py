@@ -125,8 +125,9 @@ class ConformerBlock(nn.Module):
     def __call__(self, x: Array, pos_emb: Array, bias: Optional[Array],
                  pad_mask: Optional[Array], det: bool = True) -> Array:
         drop = nn.Dropout(self.dropout)
-        ffn = lambda name: FeedForwardSwish(self.dim, self.hidden, self.dropout,
-                                            self.dtype, name=name)
+        ffn = lambda name: ConformerFeedForward(self.dim, self.hidden,
+                                                self.dropout, dtype=self.dtype,
+                                                name=name)
         if self.macaron:
             x = x + 0.5 * drop(ffn("ff_macaron")(
                 LayerNorm(dtype=self.dtype, name="norm_ff_macaron")(x), det),
@@ -143,20 +144,22 @@ class ConformerBlock(nn.Module):
         return LayerNorm(dtype=self.dtype, name="norm_final")(x)
 
 
-class FeedForwardSwish(nn.Module):
-    """espnet PositionwiseFeedForward with swish activation
-    (positionwise_feed_forward.py:12-30, relu_type=swish)."""
+class ConformerFeedForward(nn.Module):
+    """espnet PositionwiseFeedForward (positionwise_feed_forward.py:12-30).
+    NOTE: the vendored espnet uses ReLU here — the config's relu_type=swish
+    only reaches the frontends — so ReLU is the parity default."""
 
     dim: int
     hidden: int
     dropout: float = 0.1
+    activation: str = "relu"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, det: bool = True) -> Array:
         h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
                      name="w1")(x)
-        h = h * nn.sigmoid(h)
+        h = h * nn.sigmoid(h) if self.activation == "swish" else nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=det)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="w2")(h)
