@@ -56,6 +56,9 @@ class FrontendConfig:
     resnet_width: int = 64
     out_dim: int = 512
     relu_type: str = "swish"
+    # stem activation: GELU in the LRW stem (lightning.py:52), swish in the
+    # LRS espnet frontend (conv3d_extractor.py:36)
+    stem_act: str = "gelu"
 
 
 @dataclass
@@ -341,7 +344,8 @@ def lrs3_config() -> Config:
     decoder 6L; mtlalpha 0.1; audio_weight 10; 500k steps / 25k warmup, bs 16)."""
     c = Config(name="lrs3")
     c.model.task = "sentence"
-    c.model.frontend = FrontendConfig(kind="conv3d_resnet", out_dim=512)
+    c.model.frontend = FrontendConfig(kind="conv3d_resnet", out_dim=512,
+                                      stem_act="swish")
     c.model.encoder = EncoderConfig(
         kind="conformer", layers=12, dim=768, heads=12, hidden_ratio=4.0,
         macaron=True, conv_kernel=31, rel_pos=True,

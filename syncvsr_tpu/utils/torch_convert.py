@@ -111,3 +111,133 @@ def convert_word_classifier(sd: Dict[str, Any],
                             prefix: str = "category_classifier.") -> Dict:
     return {"kernel": convert_linear(sd[f"{prefix}weight"]),
             "bias": _np(sd[f"{prefix}bias"])}
+
+
+# ---------------------------------------------------------------------------
+# Full LRS E2E checkpoint (the released Vox+LRS2+LRS3.ckpt layout)
+# ---------------------------------------------------------------------------
+
+def _dgen_in(sd, key, dim, heads):
+    dk = dim // heads
+    out = {"kernel": convert_linear(sd[f"{key}.weight"]).reshape(dim, heads, dk)}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"]).reshape(heads, dk)
+    return out
+
+
+def _dgen_out(sd, key, dim, heads):
+    dk = dim // heads
+    return {"kernel": convert_linear(sd[f"{key}.weight"]).reshape(heads, dk, dim),
+            "bias": _np(sd[f"{key}.bias"])}
+
+
+def _ln(sd, key):
+    return {"LayerNorm_0": {"scale": _np(sd[f"{key}.weight"]),
+                            "bias": _np(sd[f"{key}.bias"])}}
+
+
+def convert_conformer_block(sd: Dict[str, Any], prefix: str, dim: int,
+                            heads: int) -> Tuple[Dict, Dict]:
+    """espnet EncoderLayer (rel-MHA + macaron + conv module) -> ConformerBlock.
+    Mapping verified numerically in tests/test_conformer_oracle.py."""
+    p: Dict[str, Any] = {"attn": {}, "ff": {}, "ff_macaron": {}, "conv": {}}
+    p["attn"]["wq"] = _dgen_in(sd, f"{prefix}self_attn.linear_q", dim, heads)
+    p["attn"]["wk"] = _dgen_in(sd, f"{prefix}self_attn.linear_k", dim, heads)
+    p["attn"]["wv"] = _dgen_in(sd, f"{prefix}self_attn.linear_v", dim, heads)
+    p["attn"]["wo"] = _dgen_out(sd, f"{prefix}self_attn.linear_out", dim, heads)
+    lp = _dgen_in(sd, f"{prefix}self_attn.linear_pos", dim, heads)
+    p["attn"]["linear_pos"] = {"kernel": lp["kernel"]}
+    p["attn"]["pos_bias_u"] = _np(sd[f"{prefix}self_attn.pos_bias_u"])
+    p["attn"]["pos_bias_v"] = _np(sd[f"{prefix}self_attn.pos_bias_v"])
+    for ours, theirs in (("ff", "feed_forward"),
+                         ("ff_macaron", "feed_forward_macaron")):
+        p[ours]["w1"] = {"kernel": convert_linear(sd[f"{prefix}{theirs}.w_1.weight"]),
+                         "bias": _np(sd[f"{prefix}{theirs}.w_1.bias"])}
+        p[ours]["w2"] = {"kernel": convert_linear(sd[f"{prefix}{theirs}.w_2.weight"]),
+                         "bias": _np(sd[f"{prefix}{theirs}.w_2.bias"])}
+    p["conv"]["pw1"] = {"kernel": _np(sd[f"{prefix}conv_module.pointwise_cov1.weight"])[:, :, 0].T,
+                        "bias": _np(sd[f"{prefix}conv_module.pointwise_cov1.bias"])}
+    p["conv"]["dw"] = {"kernel": _np(sd[f"{prefix}conv_module.depthwise_conv.weight"]).transpose(2, 1, 0),
+                       "bias": _np(sd[f"{prefix}conv_module.depthwise_conv.bias"])}
+    p["conv"]["pw2"] = {"kernel": _np(sd[f"{prefix}conv_module.pointwise_cov2.weight"])[:, :, 0].T,
+                        "bias": _np(sd[f"{prefix}conv_module.pointwise_cov2.bias"])}
+    p["conv"]["bn"] = {"scale": _np(sd[f"{prefix}conv_module.norm.weight"]),
+                       "bias": _np(sd[f"{prefix}conv_module.norm.bias"])}
+    for n in ("norm_ff", "norm_mha", "norm_conv", "norm_final", "norm_ff_macaron"):
+        p[n] = _ln(sd, f"{prefix}{n}")
+    stats = {"conv": {"bn": {"mean": _np(sd[f"{prefix}conv_module.norm.running_mean"]),
+                             "var": _np(sd[f"{prefix}conv_module.norm.running_var"])}}}
+    return p, stats
+
+
+def convert_decoder(sd: Dict[str, Any], prefix: str, dim: int, heads: int,
+                    layers: int) -> Dict:
+    """espnet Decoder -> TransformerDecoder (verified in the oracle test)."""
+    p: Dict[str, Any] = {"embed": {"embedding": _np(sd[f"{prefix}embed.0.weight"])}}
+    for i in range(layers):
+        src = f"{prefix}decoders.{i}."
+        blk: Dict[str, Any] = {}
+        for ours in ("self_attn", "src_attn"):
+            blk[ours] = {
+                "wq": _dgen_in(sd, f"{src}{ours}.linear_q", dim, heads),
+                "wk": _dgen_in(sd, f"{src}{ours}.linear_k", dim, heads),
+                "wv": _dgen_in(sd, f"{src}{ours}.linear_v", dim, heads),
+                "wo": _dgen_out(sd, f"{src}{ours}.linear_out", dim, heads),
+            }
+        blk["ff"] = {"w1": {"kernel": convert_linear(sd[f"{src}feed_forward.w_1.weight"]),
+                            "bias": _np(sd[f"{src}feed_forward.w_1.bias"])},
+                     "w2": {"kernel": convert_linear(sd[f"{src}feed_forward.w_2.weight"]),
+                            "bias": _np(sd[f"{src}feed_forward.w_2.bias"])}}
+        for n in ("norm1", "norm2", "norm3"):
+            blk[n] = _ln(sd, f"{src}{n}")
+        p[f"block_{i}"] = blk
+    p["after_norm"] = _ln(sd, f"{prefix}after_norm")
+    p["output"] = {"kernel": convert_linear(sd[f"{prefix}output_layer.weight"]),
+                   "bias": _np(sd[f"{prefix}output_layer.bias"])}
+    return p
+
+
+def convert_lrs_e2e(sd: Dict[str, Any], adim: int, aheads: int, dlayers: int,
+                    elayers: int, ddim: Optional[int] = None,
+                    prefix: str = "") -> Tuple[Dict, Dict]:
+    """Full reference E2E state dict -> SentenceVSRModel (params, batch_stats).
+
+    ``prefix`` is "model." for Lightning checkpoints
+    (LRS/video/lightning.py wraps E2E as self.model).
+    """
+    p: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    fe_p, fe_s = convert_stem3d(sd, f"{prefix}encoder.frontend.frontend3D.")
+    tr_p, tr_s = convert_resnet_trunk(sd, f"{prefix}encoder.frontend.trunk.")
+    fe_p["resnet"] = tr_p
+    fe_s["resnet"] = tr_s
+    p["frontend"] = fe_p
+    stats["frontend"] = fe_s
+
+    enc: Dict[str, Any] = {"embed": {
+        "kernel": convert_linear(sd[f"{prefix}encoder.embed.0.weight"]),
+        "bias": _np(sd[f"{prefix}encoder.embed.0.bias"])}}
+    enc_stats: Dict[str, Any] = {}
+    for i in range(elayers):
+        bp, bs = convert_conformer_block(sd, f"{prefix}encoder.encoders.{i}.",
+                                         adim, aheads)
+        enc[f"block_{i}"] = bp
+        enc_stats[f"block_{i}"] = bs
+    enc["after_norm"] = _ln(sd, f"{prefix}encoder.after_norm")
+    p["encoder"] = enc
+    stats["encoder"] = enc_stats
+
+    p["ctc_head"] = {"kernel": convert_linear(sd[f"{prefix}ctc.ctc_lo.weight"]),
+                     "bias": _np(sd[f"{prefix}ctc.ctc_lo.bias"])}
+    p["decoder"] = convert_decoder(sd, f"{prefix}decoder.", ddim or adim,
+                                   aheads, dlayers)
+    if f"{prefix}audio_classifier.weight" in sd:
+        p["audio_classifier"] = convert_sync_head(sd, f"{prefix}audio_classifier.")
+    elif f"{prefix}audio_projection.weight" in sd:
+        p["audio_classifier"] = convert_sync_head(sd, f"{prefix}audio_projection.")
+    if f"{prefix}proj_decoder.weight" in sd:
+        p["proj_decoder"] = {
+            "kernel": convert_linear(sd[f"{prefix}proj_decoder.weight"]),
+            "bias": _np(sd[f"{prefix}proj_decoder.bias"])}
+    return p, stats

@@ -21,6 +21,15 @@ REF = "/root/reference/LRS/video"
 
 @pytest.fixture(scope="module")
 def espnet():
+    import types
+
+    if "timm" not in sys.modules:  # encoder.py imports timm for conv3d-lrw only
+        import importlib.machinery
+
+        stub = types.ModuleType("timm")
+        stub.create_model = lambda *a, **k: None
+        stub.__spec__ = importlib.machinery.ModuleSpec("timm", None)
+        sys.modules["timm"] = stub
     sys.path.insert(0, REF)
     yield None
     sys.path.remove(REF)
@@ -181,3 +190,118 @@ def test_decoder_matches_espnet(espnet):
     out_j = dec_j.apply({"params": p}, jnp.asarray(ys), jnp.full((b,), l),
                         jnp.asarray(memory), None, True)
     np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-5)
+
+
+def test_conv3d_frontend_matches_espnet(espnet):
+    """Full visual frontend oracle: espnet Conv3dResNet (torch) -> our
+    Conv3DResNetFrontend with converted weights, matching outputs."""
+    from espnet.nets.pytorch_backend.backbones.conv3d_extractor import Conv3dResNet
+
+    from syncvsr_tpu.models.frontend import Conv3DResNetFrontend
+    from syncvsr_tpu.utils.torch_convert import convert_resnet_trunk, convert_stem3d
+
+    torch.manual_seed(3)
+    fe_t = Conv3dResNet(relu_type="swish").eval()
+    # randomize BN stats so they matter
+    for m in fe_t.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.5, 2.0)
+    sd = fe_t.state_dict()
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 32, 32, 1).astype(np.float32)  # [B, T, H, W, 1]
+    with torch.no_grad():
+        out_t = fe_t(torch.tensor(x[..., 0])[:, :, None]  # [B, T, 1, H, W]
+                     .permute(0, 1, 2, 3, 4)).numpy()
+
+    params, stats = convert_stem3d(sd, "frontend3D.")
+    r_params, r_stats = convert_resnet_trunk(sd, "trunk.")
+    params["resnet"] = r_params
+    stats["resnet"] = r_stats
+
+    fe_j = Conv3DResNetFrontend(relu_type="swish", stem_act="swish",
+                                dtype=jnp.float32)
+    out_j = fe_j.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), False)
+    np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=5e-4, atol=5e-4)
+
+
+def test_full_e2e_encoder_decoder_match(espnet):
+    """Whole-model checkpoint import: build the reference torch E2E, convert
+    its full state dict with utils.torch_convert.convert_lrs_e2e, and require
+    matching encoder memory and decoder logits."""
+    from argparse import Namespace
+
+    from espnet.nets.pytorch_backend.e2e_asr_transformer import E2E
+    from espnet.nets.pytorch_backend.transformer.mask import subsequent_mask
+
+    from syncvsr_tpu.config import lrs3_config
+    from syncvsr_tpu.models import build_model
+    from syncvsr_tpu.utils.torch_convert import convert_lrs_e2e
+
+    adim, aheads, eunits, elayers = 16, 2, 32, 2
+    dlayers, vocab, kernel = 2, 13, 7
+    args = Namespace(
+        adim=adim, aheads=aheads, eunits=eunits, elayers=elayers,
+        transformer_input_layer="conv3d", dropout_rate=0.0,
+        transformer_attn_dropout_rate=0.0,
+        transformer_encoder_attn_layer_type="rel_mha", macaron_style=True,
+        use_cnn_module=True, cnn_module_kernel=kernel, zero_triu=False,
+        a_upsample_ratio=1, relu_type="swish", ddim=adim, dheads=aheads,
+        dunits=eunits, dlayers=dlayers, lsm_weight=0.1,
+        transformer_length_normalized_loss=False, mtlalpha=0.1,
+        ctc_type="builtin", rel_pos_type="latest", codec=None)
+    torch.manual_seed(5)
+    e2e = E2E(vocab, args).eval()
+    for m in e2e.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d,
+                          torch.nn.BatchNorm3d)):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.5, 2.0)
+    sd = e2e.state_dict()
+
+    rng = np.random.RandomState(0)
+    b, t, hw = 2, 4, 32
+    x = rng.randn(b, t, hw, hw, 1).astype(np.float32)
+    ys = rng.randint(1, vocab - 1, (b, 3))
+    with torch.no_grad():
+        enc_t, _ = e2e.encoder(torch.tensor(x[..., 0])[:, :, None], None)
+        ys_mask = subsequent_mask(3).unsqueeze(0)
+        dec_t, _ = e2e.decoder(torch.tensor(ys), ys_mask, enc_t, None)
+        enc_t, dec_t = enc_t.numpy(), dec_t.numpy()
+
+    config = lrs3_config().override(**{
+        "model.encoder.layers": elayers, "model.encoder.dim": adim,
+        "model.encoder.heads": aheads, "model.encoder.hidden_ratio": eunits / adim,
+        "model.encoder.conv_kernel": kernel,
+        "model.decoder.layers": dlayers, "model.decoder.dim": adim,
+        "model.decoder.heads": aheads, "model.decoder.hidden": eunits,
+        "model.decoder.dropout": 0.0,
+        "model.encoder.msa_dropout": 0.0, "model.encoder.mlp_dropout": 0.0,
+        "model.labels": vocab, "model.codec.audio_vocab_size": 11,
+        "model.dtype": "float32"})
+    ours = build_model(config)
+    batch = {"videos": jnp.asarray(x), "lengths": jnp.full((b,), t),
+             "labels": jnp.asarray(np.pad(ys, ((0, 0), (0, 2)),
+                                          constant_values=-1)),
+             "audio_tokens": jnp.zeros((b, t * 4, 2), jnp.int32)}
+    variables = ours.init({"params": jax.random.PRNGKey(0),
+                           "mixup": jax.random.PRNGKey(1),
+                           "dropout": jax.random.PRNGKey(2)}, **batch, det=True)
+    p0 = jax.device_get(variables["params"])
+    s0 = jax.device_get(variables["batch_stats"])
+
+    p, s = convert_lrs_e2e(sd, adim, aheads, dlayers, elayers)
+    # keep our randomly-initialized sync head (reference has none with codec=None)
+    p["audio_classifier"] = p0["audio_classifier"]
+
+    enc_j = ours.apply({"params": p, "batch_stats": s}, batch["videos"],
+                       batch["lengths"], det=True, method="encode")
+    np.testing.assert_allclose(np.asarray(enc_j), enc_t, rtol=1e-3, atol=1e-3)
+
+    dec_j = ours.apply(
+        {"params": p, "batch_stats": s}, jnp.asarray(ys), jnp.full((b,), 3),
+        jnp.asarray(enc_t), None, True,
+        method=lambda m, *a, **k: m.decoder(*a, **k))
+    np.testing.assert_allclose(np.asarray(dec_j), dec_t, rtol=1e-3, atol=1e-3)
