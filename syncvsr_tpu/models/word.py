@@ -154,7 +154,8 @@ class WordVSRModel(nn.Module):
         loss = loss_word + cfg.sync_lambda * loss_audio
         hard = jnp.argmax(onehot, axis=-1)
         acc1 = (jnp.argmax(logits, axis=-1) == hard).mean()
-        acc5 = (jax.lax.top_k(logits, k=5)[1] == hard[:, None]).any(axis=1).mean()
+        k5 = min(5, logits.shape[-1])
+        acc5 = (jax.lax.top_k(logits, k=k5)[1] == hard[:, None]).any(axis=1).mean()
         return {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
                 "acc1": acc1, "acc5": acc5}
 
@@ -212,6 +213,7 @@ class WordVSRModel(nn.Module):
         loss = loss_word + cfg.sync_lambda * loss_audio
         hard = jnp.argmax(onehot, axis=-1)
         acc1 = (jnp.argmax(logits, axis=-1) == hard).mean()
-        acc5 = (jax.lax.top_k(logits, k=5)[1] == hard[:, None]).any(axis=1).mean()
+        k5 = min(5, logits.shape[-1])
+        acc5 = (jax.lax.top_k(logits, k=k5)[1] == hard[:, None]).any(axis=1).mean()
         return {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
                 "acc1": acc1, "acc5": acc5}

@@ -19,14 +19,22 @@ REF_DIR = "/root/reference/LRW/landmark/src"
 
 @pytest.fixture(scope="module")
 def ref_transformer():
+    # Both reference sub-stacks ship a top-level `utils.py`; purge any cached
+    # one (the LRS oracle fixture may have imported it first) so the landmark
+    # modeling module binds the right sibling.
+    import importlib
+
+    saved = {k: sys.modules.pop(k) for k in ("utils", "modeling")
+             if k in sys.modules}
     sys.path.insert(0, REF_DIR)
     try:
-        import importlib
-
         modeling = importlib.import_module("modeling")
         yield modeling
     finally:
         sys.path.remove(REF_DIR)
+        for k in ("utils", "modeling"):
+            sys.modules.pop(k, None)
+        sys.modules.update(saved)
 
 
 def test_word_logits_match_reference(ref_transformer):

@@ -84,3 +84,49 @@ def test_landmark_transform_recipes():
                               rng=np.random.RandomState(0))(short)
     assert padded.shape == (29, 478, 3)
     assert (padded[10:] == -100.0).all()
+
+
+def test_train_driver_lrw_video_data(tmp_path, mesh8):
+    """Full data path: LRW pkl tree -> factory loaders -> train driver."""
+    import cv2
+    import torch
+
+    root = tmp_path / "LRW"
+    rng = np.random.RandomState(0)
+    rows = []
+    for word in ["ABOUT", "WORLD"]:
+        for split in ("train", "val"):
+            d = root / word / split
+            d.mkdir(parents=True)
+            for i in range(8):
+                jpgs = []
+                for _ in range(29):
+                    ok, buf = cv2.imencode(
+                        ".jpg", rng.randint(0, 256, (24, 28), np.uint8))
+                    jpgs.append(buf.tobytes())
+                torch.save({"video": jpgs,
+                            "vq_tokens": torch.tensor(
+                                rng.randint(0, 13, (1, 120, 2)))},
+                           d / f"{word}_{i:05d}.pkl")
+                rows.append((f"{split}/{word}_{i:05d}", 11))
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["id", "length"]).to_csv(
+        root / "durations.csv", index=False)
+
+    from syncvsr_tpu.config import lrw_video_config
+    from syncvsr_tpu.train import train
+
+    config = lrw_video_config().override(**{
+        "model.encoder.layers": 1, "model.encoder.dim": 32,
+        "model.encoder.heads": 2, "model.labels": 2,
+        "model.codec.audio_vocab_size": 13, "model.dtype": "float32",
+        "model.use_word_boundary": True,
+        "data.dataset": "lrw", "data.root": str(root), "data.batch_size": 8,
+        "data.eval_batch_size": 8, "data.crop_size": 16,
+        "optim.total_steps": 0, "train.epochs": 1, "train.log_every": 1,
+        "train.eval_every": 2, "train.ckpt_every": 2,
+        "train.ckpt_dir": str(tmp_path / "ckpt")})
+    final = train(config)
+    assert np.isfinite(final["val/loss"])
+    assert "val/acc1" in final
