@@ -61,6 +61,16 @@ def build_train_step(mesh: Optional[Mesh] = None, donate: bool = True,
         return jax.jit(train_step, donate_argnums=donate_argnums)
     batch_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    if mesh.shape.get("model", 1) > 1:
+        # tensor-parallel: big matmul params (and their Adam moments) live
+        # sharded on the model axis; XLA partitions the matmuls and inserts
+        # the collectives. State shardings are shape-inferred per leaf, so
+        # pass UNSPECIFIED for the state and pin only the batch.
+        return jax.jit(
+            train_step,
+            donate_argnums=donate_argnums,
+            in_shardings=(None, batch_sh),
+        )
     return jax.jit(
         train_step,
         donate_argnums=donate_argnums,

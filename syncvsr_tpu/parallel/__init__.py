@@ -6,4 +6,6 @@ from syncvsr_tpu.parallel.mesh import (  # noqa: F401
     host_local_batch,
     replicated,
     shard_batch,
+    shard_state,
+    state_shardings,
 )

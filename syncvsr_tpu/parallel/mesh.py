@@ -57,3 +57,28 @@ def host_local_batch(global_batch_size: int) -> int:
     """Per-host batch slice size (reference per-rank samplers equivalent)."""
     assert global_batch_size % jax.process_count() == 0
     return global_batch_size // jax.process_count()
+
+
+def state_shardings(mesh: Mesh, state, min_dim: int = 512):
+    """Tensor-parallel sharding rules for a TrainState pytree.
+
+    Any array whose trailing dim is >= min_dim and divisible by the mesh's
+    ``model`` axis is sharded on that dim (big FFN/head matmuls); everything
+    else is replicated. Adam moments share their parameter's sharding because
+    the rule is shape-based. With model=1 this degenerates to pure DP.
+    """
+    model = mesh.shape["model"]
+
+    def rule(leaf):
+        if (model > 1 and hasattr(leaf, "ndim") and leaf.ndim >= 2
+                and leaf.shape[-1] >= min_dim and leaf.shape[-1] % model == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (leaf.ndim - 1)), "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, state)
+
+
+def shard_state(mesh: Mesh, state, min_dim: int = 512):
+    """Place a TrainState according to state_shardings."""
+    return jax.device_put(state, state_shardings(mesh, state, min_dim))
