@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import glob
 import os
-import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 import numpy as np

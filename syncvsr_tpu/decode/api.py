@@ -2,11 +2,9 @@
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from syncvsr_tpu.decode.beam_search import BeamSearchConfig, beam_search
 from syncvsr_tpu.ops.ctc import ctc_greedy_decode

@@ -9,12 +9,9 @@ collection for the BatchNorm-bearing video/conformer models.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
-import flax
 import jax
-import jax.numpy as jnp
 import optax
 from flax.training import train_state
 

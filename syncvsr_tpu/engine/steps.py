@@ -8,7 +8,6 @@ are replicated, and the gradient all-reduce is inserted by XLA (no explicit
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax

@@ -13,13 +13,13 @@ relative sinusoid table.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from syncvsr_tpu.models.layers import LayerNorm, trunc_normal
+from syncvsr_tpu.models.layers import LayerNorm
 
 Array = jax.Array
 

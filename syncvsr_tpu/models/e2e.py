@@ -13,7 +13,7 @@ Improvement over the reference: padded frames are excluded from the sync loss
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax

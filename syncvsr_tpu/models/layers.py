@@ -7,7 +7,7 @@ of 128 where the configs allow so XLA tiles them onto the MXU.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ batch-axis reduction is a global reduction, which gives the reference's
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

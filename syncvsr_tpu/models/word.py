@@ -12,7 +12,7 @@ using the "mixup" RNG stream.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax

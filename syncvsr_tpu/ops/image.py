@@ -12,7 +12,6 @@ path; no dynamic shapes reach XLA.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

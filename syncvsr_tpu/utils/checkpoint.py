@@ -127,3 +127,15 @@ def partial_load(params: Any, pretrained: Any,
     if verbose:
         print(f"[ckpt] loaded {loaded}/{len(flat)} params from pretrained tree")
     return unflatten(flat), loaded
+
+
+def load_ssl_pretrained(path: str, params: Any,
+                        encoder_key: str = "encoder") -> Any:
+    """Warm start from an SSL-pretrained landmark msgpack whose tree is
+    {"student": {"encoder": ...}} (reference LRW/landmark/src/utils.py:59-71):
+    the student encoder becomes the model subtree, merged by intersection."""
+    pretrained = load_msgpack(path)
+    if "student" in pretrained:
+        pretrained = {encoder_key: pretrained["student"]["encoder"]}
+    merged, _ = partial_load(params, pretrained)
+    return merged

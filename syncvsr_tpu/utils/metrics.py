@@ -12,7 +12,6 @@ import time
 from collections import defaultdict
 from typing import Any, Dict, Iterable, Optional
 
-import jax
 import numpy as np
 
 

@@ -4,7 +4,7 @@ espnet's ErrorCalculator)."""
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 
 def edit_distance(ref: Sequence, hyp: Sequence) -> int:
