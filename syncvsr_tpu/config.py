@@ -124,8 +124,15 @@ class ModelConfig:
 
 @dataclass
 class DataConfig:
-    dataset: str = "synthetic"      # "lrw" | "lrw_landmark" | "lrs2" | "lrs3" | "synthetic"
+    dataset: str = "synthetic"      # "lrw" | "lrw_landmark" | "lrs2" | "lrs3" | "vox2" | "synthetic"
     root: str = "/data"
+    split: str = ""                 # eval split; "" -> val in train, test in evaluate
+    # released audio-token pkls root, mapped by path convention
+    # (reference LRW/video/src/data.py:49-55); "" -> tokens embedded in video pkls
+    audio_root: str = ""
+    # path to a video_length.npy-style histogram for long-clip windowing
+    # (reference LRS/video/datamodule/av_dataset.py:43-52)
+    length_distribution: str = ""
     batch_size: int = 16
     eval_batch_size: int = 16
     num_frames: int = 29            # LRW clips are 29 frames
@@ -187,8 +194,9 @@ class TrainConfig:
     resume: str = ""
     pretrained: str = ""
     wandb: bool = False
-    remat: bool = False
     donate: bool = True
+    profile_steps: str = ""     # "start:stop" step range to capture a jax trace
+    profile_dir: str = "trace"  # where the trace is written
     distributed: bool = False   # call jax.distributed.initialize() (multi-host)
     tabulate: bool = False      # print the flax module summary at init
 
@@ -371,6 +379,18 @@ def lrs3_audio_config() -> Config:
     return c
 
 
+def vox2_config() -> Config:
+    """VoxCeleb2 pretrain recipe: long unlabeled clips randomly windowed with
+    the window length drawn from the empirical LRS3 length histogram
+    (reference av_dataset.py:43-52, prepare_Vox2.py). Point
+    ``data.length_distribution`` at a video_length.npy file."""
+    c = lrs3_config()
+    c.name = "vox2"
+    c.data.dataset = "vox2"
+    c.data.length_distribution = "video_length.npy"
+    return c
+
+
 def lrs2_config() -> Config:
     """LRS2 variant (lrs2.yaml: 450k steps / 15k warmup)."""
     c = lrs3_config()
@@ -388,4 +408,5 @@ PRESETS = {
     "lrs3": lrs3_config,
     "lrs3_audio": lrs3_audio_config,
     "lrs2": lrs2_config,
+    "vox2": vox2_config,
 }

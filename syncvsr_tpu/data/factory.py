@@ -12,6 +12,7 @@ from syncvsr_tpu.data import synthetic
 from syncvsr_tpu.data.loader import DataLoader, pad_word_collate
 from syncvsr_tpu.data.lrs import BucketBatcher, LRSDataset, glob_lrs_files
 from syncvsr_tpu.data.lrw import (
+    DCTCNDataset,
     LRWLandmarkDataset,
     LRWVideoDataset,
     discover_labels,
@@ -42,16 +43,22 @@ class SyntheticLoader:
                     seed=seed)
 
 
-def build_loaders(config: Config) -> Tuple[object, object]:
+def build_loaders(config: Config,
+                  eval_split: str = "") -> Tuple[object, object]:
+    """Returns (train_loader, eval_loader). The eval loader reads
+    ``eval_split`` or ``config.data.split`` ("val" during training; the
+    evaluate CLI passes "test" — reference LRW/video/src/inference.py:42-44,
+    LRS/video/datamodule/data_module.py:98-105)."""
+    split = eval_split or config.data.split or "val"
     name = config.data.dataset
     if name == "synthetic":
         return SyntheticLoader(config, True), SyntheticLoader(config, False, 4)
     if name in ("lrw", "lrw1000"):
-        return _lrw_video_loaders(config)
+        return _lrw_video_loaders(config, split)
     if name == "lrw_landmark":
-        return _lrw_landmark_loaders(config)
+        return _lrw_landmark_loaders(config, split)
     if name in ("lrs2", "lrs3", "vox2"):
-        return _lrs_loaders(config)
+        return _lrs_loaders(config, split)
     raise ValueError(f"unknown dataset {name}")
 
 
@@ -65,25 +72,34 @@ def _lrw_common(config: Config):
     return root, labels, durations
 
 
-def _lrw_video_loaders(config: Config):
+def _num_threads(config: Config) -> int:
+    return config.data.num_workers or 4
+
+
+def _lrw_video_loaders(config: Config, eval_split: str = "val"):
     root, labels, durations = _lrw_common(config)
     codec = config.model.codec
     rows = config.data.num_frames * codec.audio_alignment + 4
     collate = pad_word_collate(config.data.num_frames, rows, codec.vq_groups)
+    dense_tcn = config.model.encoder.kind == "dense_tcn"
 
-    def make(split, shuffle, bs):
+    def make(split, shuffle, bs, train):
         files = glob_lrw_files(root, split)
         ds = LRWVideoDataset(files, labels, codec=codec.name,
+                             audio_root=config.data.audio_root or None,
                              durations_df=durations,
                              num_frames=config.data.num_frames)
+        if dense_tcn:
+            ds = DCTCNDataset(ds, codec.audio_alignment, train=train,
+                              seed=config.train.seed)
         return DataLoader(ds, bs, shuffle=shuffle, seed=config.train.seed,
-                          collate=collate)
+                          collate=collate, num_threads=_num_threads(config))
 
-    return (make("train", True, config.data.batch_size),
-            make("val", False, config.data.eval_batch_size))
+    return (make("train", True, config.data.batch_size, True),
+            make(eval_split, False, config.data.eval_batch_size, False))
 
 
-def _lrw_landmark_loaders(config: Config):
+def _lrw_landmark_loaders(config: Config, eval_split: str = "val"):
     root, labels, durations = _lrw_common(config)
     codec = config.model.codec
     rows = config.data.num_frames * codec.audio_alignment + 4
@@ -93,13 +109,14 @@ def _lrw_landmark_loaders(config: Config):
     def make(split, shuffle, bs, train):
         files = glob_lrw_files(root, split, ext="npy")
         ds = LRWLandmarkDataset(files, labels, codec=codec.name,
+                                audio_root=config.data.audio_root or None,
                                 durations_df=durations,
                                 transform=create_transform(train=train))
         return DataLoader(ds, bs, shuffle=shuffle, seed=config.train.seed,
-                          collate=collate)
+                          collate=collate, num_threads=_num_threads(config))
 
     return (make("train", True, config.data.batch_size, True),
-            make("val", False, config.data.eval_batch_size, False))
+            make(eval_split, False, config.data.eval_batch_size, False))
 
 
 class LRSBucketLoader:
@@ -109,9 +126,19 @@ class LRSBucketLoader:
         self.config = config
         self.tt = TextTransform()
         files = glob_lrs_files(config.data.root, config.data.dataset.upper(), split)
+        length_dist = None
+        if shuffle and config.data.length_distribution:
+            ld_path = config.data.length_distribution
+            if not os.path.isabs(ld_path):
+                ld_path = os.path.join(config.data.root, ld_path)
+            if os.path.exists(ld_path):
+                length_dist = np.load(ld_path)
+        max_frames = (config.data.max_frames if shuffle
+                      else config.data.max_frames_val)
         self.ds = LRSDataset(files, self.tt, codec=config.model.codec.name,
                              audio_alignment=config.model.codec.audio_alignment,
-                             max_frames=config.data.max_frames)
+                             max_frames=max_frames,
+                             length_distribution=length_dist)
         self.shuffle = shuffle
         self.split = split
         self.epoch = 0
@@ -141,6 +168,6 @@ class LRSBucketLoader:
             yield b
 
 
-def _lrs_loaders(config: Config):
+def _lrs_loaders(config: Config, eval_split: str = "val"):
     return (LRSBucketLoader(config, "train", True),
-            LRSBucketLoader(config, "val", False))
+            LRSBucketLoader(config, eval_split, False))

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, List, Optional
 
 import jax
@@ -69,16 +71,45 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer went away
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
+            # Sample fetches (pkl read + JPEG decode; cv2/np release the GIL)
+            # run on a thread pool; the producer keeps `prefetch + 1` batches
+            # of futures in flight and collates them in order.
+            pool = ThreadPoolExecutor(max_workers=max(self.num_threads, 1))
             try:
-                for b in range(n_batches):
+                def submit(b):
+                    chunk = indices[b * self.local_bs:(b + 1) * self.local_bs]
+                    return [pool.submit(self.dataset.__getitem__, int(i))
+                            for i in chunk]
+
+                ahead = self.prefetch + 1
+                pending = deque(submit(b)
+                                for b in range(min(ahead, n_batches)))
+                next_b = len(pending)
+                while pending:
                     if stop.is_set():
                         return
-                    chunk = indices[b * self.local_bs:(b + 1) * self.local_bs]
-                    samples = [self.dataset[int(i)] for i in chunk]
-                    q.put(self.collate(samples))
+                    samples = [f.result() for f in pending.popleft()]
+                    if next_b < n_batches:
+                        pending.append(submit(next_b))
+                        next_b += 1
+                    if not _put(self.collate(samples)):
+                        return
+            except BaseException as e:  # surfaced in the consumer
+                _put(e)
             finally:
-                q.put(None)
+                _put(None)
+                pool.shutdown(wait=False, cancel_futures=True)
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()
@@ -87,6 +118,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

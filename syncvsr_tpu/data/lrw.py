@@ -166,16 +166,55 @@ def glob_lrw_files(root: str, split: str, ext: str = "pkl") -> List[str]:
 
 def dctcn_mask_frames(rng: np.random.RandomState, sample: Dict[str, np.ndarray],
                       max_time_masks: int = 15) -> None:
-    """Mean-fill a random temporal span of the video (in place)."""
+    """Mean-fill a random temporal span of the video (in place). Keeps the
+    input dtype (uint8 videos stay uint8 so the on-device /255 path still
+    applies)."""
     video = sample["inputs"]
     length = rng.randint(max(max_time_masks, 1))
     if length == 0:
         return
     offset = rng.randint(video.shape[0] - length)
     fill = video.mean()
-    video = video.astype(np.float32, copy=True)
-    video[offset:offset + length] = fill
+    video = video.copy()
+    video[offset:offset + length] = np.round(fill).astype(video.dtype) \
+        if np.issubdtype(video.dtype, np.integer) else fill
     sample["inputs"] = video
+
+
+class DCTCNDataset:
+    """Wraps an LRW video dataset with the DC-TCN data contract (reference
+    LRW/video/src/data.py:70-139): always emits an ``attention_mask``, and at
+    train time applies ``dctcn_mask_frames`` (random mean-filled span) and
+    ``dctcn_trim_frames`` (random roll + truncate keeping the word inside,
+    which shortens the attention mask)."""
+
+    def __init__(self, base, audio_alignment: int = 4, train: bool = True,
+                 seed: int = 0, max_time_masks: int = 15):
+        self.base = base
+        self.audio_alignment = audio_alignment
+        self.train = train
+        self.seed = seed
+        self.max_time_masks = max_time_masks
+        self._draws: Dict[int, int] = {}
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        sample = dict(self.base[index])
+        t = sample["inputs"].shape[0]
+        sample.setdefault("attention_mask", np.ones(t, np.float32))
+        if not self.train:
+            return sample
+        # fresh randomness per (index, visit) so augs differ across epochs
+        draw = self._draws.get(index, 0)
+        self._draws[index] = draw + 1
+        rng = np.random.RandomState(
+            (self.seed * 1_000_003 + index * 7919 + draw) % (2 ** 32))
+        dctcn_mask_frames(rng, sample, self.max_time_masks)
+        if "word_mask" in sample:
+            dctcn_trim_frames(rng, sample, self.audio_alignment)
+        return sample
 
 
 def dctcn_trim_frames(rng: np.random.RandomState,

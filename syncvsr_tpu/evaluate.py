@@ -5,9 +5,15 @@ LRW/video/src/inference.py). Sentence-level: per-utterance beam-search WER
 (reference LRS/video/lightning.py:114-129,224-234) with the jittable hybrid
 decoder, or fast greedy-CTC WER with decode=greedy.
 
+Evaluates the **test** split by default (override with ``data.split=val``),
+matching the reference drivers. Optional LM shallow fusion mirrors the
+reference's config-built LM scorer (LRS/video/lightning.py:243-279,
+config/lrs3.yaml:64-71): pass ``lm_ckpt=<msgpack>`` and ``lm_weight=0.1``.
+
 Usage:
     python -m syncvsr_tpu.evaluate preset=lrs3 data.root=/data \
-        ckpt=best.msgpack decode=beam beam_size=40
+        ckpt=best.msgpack decode=beam beam_size=40 \
+        [lm_ckpt=lm.msgpack lm_weight=0.1] [data.split=val]
 """
 
 from __future__ import annotations
@@ -41,10 +47,18 @@ def main():
     ckpt_path = overrides.pop("ckpt", None)
     decode_mode = overrides.pop("decode", "beam")
     beam_size = int(overrides.pop("beam_size", 40))
+    lm_ckpt = overrides.pop("lm_ckpt", None)
+    lm_weight = float(overrides.pop("lm_weight", 0.0))
+    # LM shape (reference lrs3.yaml language_model: 16L, att 512, 8 heads,
+    # unit 2048, embed 128)
+    lm_shape = {k: int(overrides.pop(f"lm_{k}", d)) for k, d in
+                (("layers", 16), ("dim", 512), ("heads", 8),
+                 ("hidden", 2048), ("embed_dim", 128))}
     config = (PRESETS[preset]() if preset else Config()).override(**overrides)
+    split = config.data.split or "test"
 
     model = build_model(config)
-    _, eval_loader = build_loaders(config)
+    _, eval_loader = build_loaders(config, eval_split=split)
     example = next(iter(eval_loader))
     if config.model.task == "word":
         eval_transform = build_eval_transform(config.data)
@@ -71,7 +85,7 @@ def main():
         for batch in eval_loader:
             batch = eval_transform(batch)
             meter.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))))
-        print(json.dumps(meter.summary("test/")))
+        print(json.dumps(meter.summary(f"{split}/")))
         return
 
     # sentence-level: WER
@@ -86,11 +100,21 @@ def main():
         hyp_records.append({"ref": ref, "hyp": hyp,
                             **({"score": score} if score is not None else {})})
 
+    lm = lm_variables = None
+    if lm_ckpt and lm_weight != 0.0:
+        from syncvsr_tpu.models.lm import TransformerLM
+
+        lm = TransformerLM(vocab=config.model.labels, **lm_shape)
+        lm_payload = ckpt.load_msgpack(lm_ckpt)
+        lm_variables = {"params": lm_payload.get("params", lm_payload)}
+
     if decode_mode == "beam":
         decode = make_beam_decoder(
             model, variables,
             BeamSearchConfig(beam_size=beam_size,
-                             ctc_weight=config.model.mtlalpha))
+                             ctc_weight=config.model.mtlalpha,
+                             lm_weight=lm_weight),
+            lm=lm, lm_variables=lm_variables)
         for batch in eval_loader:
             batch = eval_transform(batch)
             for i in range(batch["videos"].shape[0]):
@@ -113,9 +137,9 @@ def main():
     with open("hypotheses.jsonl", "w") as f:
         for r in hyp_records:
             f.write(json.dumps(r) + "\n")
-    print(json.dumps({"test/wer": wer.wer,
-                      "test/edit_distance": wer.total_edit_distance,
-                      "test/words": wer.total_length,
+    print(json.dumps({f"{split}/wer": wer.wer,
+                      f"{split}/edit_distance": wer.total_edit_distance,
+                      f"{split}/words": wer.total_length,
                       "hypotheses": "hypotheses.jsonl"}))
 
 

@@ -38,6 +38,7 @@ from syncvsr_tpu.ops.image import (
 from syncvsr_tpu.parallel import create_mesh, shard_batch
 from syncvsr_tpu.utils import checkpoint as ckpt
 from syncvsr_tpu.utils.metrics import AverageMeter, MetricLogger
+from syncvsr_tpu.utils.profiling import StepTimer
 
 
 def load_config(argv) -> Config:
@@ -115,6 +116,12 @@ def train(config: Config) -> Dict[str, float]:
     best = -np.inf
     step = start_step
     t_start = time.time()
+    timer = StepTimer()
+    # optional jax trace capture over a step window ("start:stop")
+    prof_range = None
+    if config.train.profile_steps:
+        a, b = config.train.profile_steps.split(":")
+        prof_range = (int(a), int(b))
 
     def run_eval() -> Dict[str, float]:
         em = AverageMeter()
@@ -125,13 +132,21 @@ def train(config: Config) -> Dict[str, float]:
 
     for epoch in range(config.train.epochs):
         for batch in train_loader:
-            state, metrics = train_step(state, shard_batch(mesh, batch))
-            meter.update(jax.device_get(metrics))
+            if prof_range and step == prof_range[0]:
+                jax.profiler.start_trace(config.train.profile_dir)
+            with timer:
+                state, metrics = train_step(state, shard_batch(mesh, batch))
+                meter.update(jax.device_get(metrics))
             step += 1
+            if prof_range and step == prof_range[1]:
+                jax.profiler.stop_trace()
+                print(f"[trace] wrote {config.train.profile_dir}")
             if step % config.train.log_every == 0:
                 summary = meter.summary("train/")
                 summary["train/steps_per_sec"] = config.train.log_every / max(
                     time.time() - t_start, 1e-6)
+                if timer.avg_ms:
+                    summary["train/step_ms_ema"] = timer.avg_ms
                 t_start = time.time()
                 logger.log(summary, step)
                 if jax.process_index() == 0:

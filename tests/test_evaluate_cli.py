@@ -27,6 +27,48 @@ def test_evaluate_word(monkeypatch, capsys, tmp_path, mesh8):
     assert "test/acc1" in res and np.isfinite(res["test/loss"])
 
 
+SENT_ARGS = [
+    "preset=lrs3", 'model.frontend.kind="landmark"',
+    "model.frontend.input_features=8", "model.encoder.layers=1",
+    "model.encoder.dim=16", "model.encoder.heads=2",
+    "model.encoder.conv_kernel=7", "model.decoder.layers=1",
+    "model.decoder.dim=16", "model.decoder.heads=2",
+    "model.decoder.hidden=32", "model.labels=13",
+    "model.codec.audio_vocab_size=11", 'model.dtype="float32"',
+    'data.dataset="synthetic"', "data.batch_size=2"]
+
+
+def test_evaluate_sentence_lm_fusion(monkeypatch, capsys, tmp_path):
+    """lm_ckpt + lm_weight>0 deterministically changes the beam hypotheses
+    (reference LM scorer wiring, LRS/video/lightning.py:243-279)."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncvsr_tpu.models.lm import TransformerLM
+    from syncvsr_tpu.utils import checkpoint as ckpt
+
+    monkeypatch.chdir(tmp_path)
+    lm = TransformerLM(vocab=13, layers=1, dim=16, heads=2, hidden=32,
+                       embed_dim=8)
+    params = lm.init(jax.random.PRNGKey(3), jnp.zeros((1, 4), jnp.int32))["params"]
+    ckpt.save_msgpack(str(tmp_path / "lm.msgpack"),
+                      {"params": jax.device_get(params)})
+    lm_args = [f'lm_ckpt="{tmp_path / "lm.msgpack"}"', "lm_weight=0.7",
+               "lm_layers=1", "lm_dim=16", "lm_heads=2", "lm_hidden=32",
+               "lm_embed_dim=8"]
+
+    def hyps(args):
+        _run_main(monkeypatch, capsys, args)
+        return [json.loads(l) for l in
+                open(tmp_path / "hypotheses.jsonl").read().splitlines()]
+
+    base = hyps(SENT_ARGS + ["beam_size=4"])
+    fused = hyps(SENT_ARGS + ["beam_size=4"] + lm_args)
+    fused2 = hyps(SENT_ARGS + ["beam_size=4"] + lm_args)
+    assert fused == fused2  # deterministic
+    assert [h["score"] for h in base] != [h["score"] for h in fused]
+
+
 def test_evaluate_sentence_greedy(monkeypatch, capsys, tmp_path):
     monkeypatch.chdir(tmp_path)
     res = _run_main(monkeypatch, capsys, [
