@@ -18,6 +18,7 @@ import numpy as np
 
 from syncvsr_tpu.tools.roi import (
     bundle_pkl,
+    extract_audio,
     encode_jpeg_frames,
     face_center_crop,
     pending_files,
@@ -99,6 +100,7 @@ def main():
             print(f"SKIP (no frames): {src}")
             continue
         bundle_pkl(target(src), encode_jpeg_frames(crops),
+                   audio=extract_audio(src),
                    text=read_transcript(src))
 
 

@@ -25,6 +25,7 @@ from syncvsr_tpu.tools.roi import (
     bundle_pkl,
     crop_fixed,
     encode_jpeg_frames,
+    extract_audio,
     lip_bbox_from_landmarks,
     pending_files,
 )
@@ -78,7 +79,10 @@ def process_pkl(mp4_path: str, out_path: str) -> None:
     for i, frame in enumerate(frames):
         bbox = lip_bbox_from_landmarks(landmarks[i], w, h)
         crops.append(crop_fixed(frame, bbox))
-    bundle_pkl(out_path, encode_jpeg_frames(crops))
+    # clip audio rides along for offline tokenization
+    # (reference preprocess_pkl.py:209-225 saves pydub audio)
+    bundle_pkl(out_path, encode_jpeg_frames(crops),
+               audio=extract_audio(mp4_path))
 
 
 def main():

@@ -104,6 +104,29 @@ def encode_jpeg_frames(frames: Sequence[np.ndarray], quality: int = 95
     return out
 
 
+def extract_audio(mp4_path: str, sample_rate: int = 16_000):
+    """mp4 -> {"array": int16 mono waveform, "sample_rate": sr} via the
+    ffmpeg CLI (the reference bundles pydub AudioSegments,
+    preprocess_pkl.py:209-225; this emits the numpy contract
+    tools/tokenize_audio.to_waveform consumes). Returns None when ffmpeg is
+    unavailable or the clip has no audio track."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        return None
+    cmd = ["ffmpeg", "-v", "error", "-i", mp4_path, "-vn", "-ac", "1",
+           "-ar", str(sample_rate), "-f", "s16le", "-"]
+    try:
+        raw = subprocess.run(cmd, capture_output=True, timeout=120).stdout
+    except (subprocess.SubprocessError, OSError):
+        return None
+    if not raw:
+        return None
+    wav = np.frombuffer(raw, np.int16)
+    return {"array": wav, "sample_rate": sample_rate}
+
+
 def bundle_pkl(path: str, video_jpegs: List[bytes], audio=None,
                text: Optional[str] = None, extra: Optional[dict] = None):
     """Write the dataset pkl contract ({"video": [...], "audio", "text"},

@@ -22,7 +22,8 @@ def mesh8():
 
 def make_lrw_tree(root, words=("ABOUT", "WORLD"), splits=("train", "val"),
                   n=8, frames=29, size=(24, 28), vocab=13, boundary=11,
-                  token_root=None, seed=0):
+                  token_root=None, seed=0, with_audio=False,
+                  with_tokens=True):
     """Synthetic LRW pkl tree: <root>/<WORD>/<split>/<WORD>_<i>.pkl with JPEG
     frames + vq tokens + durations.csv. When ``token_root`` is given the
     tokens go into a parallel tree of token-only pkls (the released-token
@@ -50,7 +51,13 @@ def make_lrw_tree(root, words=("ABOUT", "WORLD"), splits=("train", "val"),
                 tokens = torch.tensor(
                     rng.randint(0, vocab, (1, frames * 4 + 4, 2)))
                 payload = {"video": jpgs}
-                if token_root is None:
+                if with_audio:
+                    samples = frames * 640  # 29 frames @ 25fps @ 16 kHz
+                    payload["audio"] = (
+                        rng.randn(samples) * 3000).astype(np.int16)
+                if not with_tokens:
+                    pass
+                elif token_root is None:
                     payload["vq_tokens"] = tokens
                 else:
                     torch.save({"vq_tokens": tokens},
