@@ -70,11 +70,15 @@ class EncoderConfig:
     dim: int = 320
     heads: int = 4
     hidden_ratio: float = 4.0
+    hidden: int = 0   # explicit FF width; 0 -> int(hidden_ratio * dim)
     # transformer flavour (x-transformers style in reference: rmsnorm+glu+rope,
     # LRW/video/src/lightning.py:93-105)
     use_rmsnorm: bool = False
     use_glu: bool = False
     rope: bool = True
+    rope_dim: int = 0  # partial rotary width; 0 -> full head_dim.
+    # x-transformers rotates max(32, head_dim // 2) — set 32 for released-ckpt
+    # parity
     emb_dropout: float = 0.1
     msa_dropout: float = 0.1
     mlp_dropout: float = 0.1

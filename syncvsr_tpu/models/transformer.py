@@ -34,6 +34,10 @@ class RotaryAttention(nn.Module):
     heads: int
     dropout: float = 0.0
     rope: bool = True
+    # rotate only the first rope_dim dims of each head (0 = full head_dim).
+    # x-transformers uses max(32, head_dim // 2) — needed for released-ckpt
+    # parity (LRW/video/src/lightning.py:96-105)
+    rope_dim: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -45,9 +49,16 @@ class RotaryAttention(nn.Module):
                                             param_dtype=jnp.float32, name=name)
         q, k, v = proj("wq")(x), proj("wk")(x), proj("wv")(x)
         if self.rope:
-            cos, sin = rope_angles(positions, head_dim)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+            rd = self.rope_dim or head_dim
+            cos, sin = rope_angles(positions, rd)
+            if rd == head_dim:
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
+            else:  # partial rotary: leave the tail dims unrotated
+                q = jnp.concatenate(
+                    (apply_rope(q[..., :rd], cos, sin), q[..., rd:]), axis=-1)
+                k = jnp.concatenate(
+                    (apply_rope(k[..., :rd], cos, sin), k[..., rd:]), axis=-1)
         o = dot_attention(q, k, v, bias, self.dropout, det, self, self.dtype)
         return nn.DenseGeneral(x.shape[-1], axis=(-2, -1), kernel_init=trunc_normal(),
                                dtype=self.dtype, param_dtype=jnp.float32, name="wo")(o)
@@ -60,6 +71,7 @@ class TransformerBlock(nn.Module):
     use_rmsnorm: bool = False
     use_glu: bool = False
     rope: bool = True
+    rope_dim: int = 0
     msa_dropout: float = 0.0
     mlp_dropout: float = 0.0
     droppath: float = 0.0
@@ -72,7 +84,7 @@ class TransformerBlock(nn.Module):
             else (lambda name: LayerNorm(dtype=self.dtype, name=name))
         drop = DropPath(self.droppath)
         attn = RotaryAttention(self.dim, self.heads, self.msa_dropout, self.rope,
-                               self.dtype, name="attn")
+                               self.rope_dim, self.dtype, name="attn")
         ff = FeedForward(x.shape[-1], self.hidden, self.mlp_dropout, self.use_glu,
                          dtype=self.dtype, name="ff")
         x = x + drop(attn(norm("norm_attn")(x), positions, bias, det), det)
@@ -90,6 +102,7 @@ class TransformerEncoder(nn.Module):
     use_rmsnorm: bool = False
     use_glu: bool = False
     rope: bool = True
+    rope_dim: int = 0
     msa_dropout: float = 0.0
     mlp_dropout: float = 0.0
     droppath: float = 0.0
@@ -106,7 +119,8 @@ class TransformerEncoder(nn.Module):
             block_cls = nn.remat(TransformerBlock, static_argnums=(4,))
         for i in range(self.layers):
             x = block_cls(self.dim, self.heads, self.hidden, self.use_rmsnorm,
-                          self.use_glu, self.rope, self.msa_dropout, self.mlp_dropout,
+                          self.use_glu, self.rope, self.rope_dim,
+                          self.msa_dropout, self.mlp_dropout,
                           self.droppath, self.dtype, name=f"block_{i}")(
                               x, positions, bias, det)
         final = RMSNorm(dtype=self.dtype) if self.use_rmsnorm else LayerNorm(dtype=self.dtype)

@@ -136,8 +136,9 @@ class WordVSRModel(nn.Module):
 
         encoded = TransformerEncoder(
             layers=enc.layers, dim=enc.dim, heads=enc.heads,
-            hidden=int(enc.hidden_ratio * enc.dim),
+            hidden=enc.hidden or int(enc.hidden_ratio * enc.dim),
             use_rmsnorm=enc.use_rmsnorm, use_glu=enc.use_glu, rope=enc.rope,
+            rope_dim=enc.rope_dim,
             msa_dropout=enc.msa_dropout, mlp_dropout=enc.mlp_dropout,
             droppath=enc.droppath, remat=cfg.remat, dtype=dtype,
             name="encoder")(hidden, det=det)

@@ -114,6 +114,123 @@ def convert_word_classifier(sd: Dict[str, Any],
 
 
 # ---------------------------------------------------------------------------
+# x-transformers encoder (the released LRW_CKPT layout,
+# LRW/video/src/lightning.py:96-105: RMSNorm + GLU + partial rotary)
+# ---------------------------------------------------------------------------
+
+def _first_key(sd, *candidates):
+    for k in candidates:
+        if k in sd:
+            return k
+    return None
+
+
+def convert_xtransformers_encoder(sd: Dict[str, Any], prefix: str, depth: int,
+                                  dim: int, heads: int,
+                                  dim_in: Optional[int] = None) -> Dict:
+    """x-transformers ``Encoder(dim_in, depth, heads, use_rmsnorm, ff_glu,
+    rotary_pos_emb)`` state dict -> models.transformer.TransformerEncoder
+    params.
+
+    Layer list alternates attention/feed-forward ('a','f'), so our block_i
+    maps to their layers.{2i} (attn) and layers.{2i+1} (ff). Conventions
+    mirrored (and required on the flax side): partial rotary over
+    max(32, head_dim // 2) dims (``encoder.rope_dim``), split-halves rotation,
+    GLU with value = first proj half / gate = second half, RMSNorm g == our
+    scale. q/k/v carry no bias in x-transformers -> zeros here.
+    """
+    dim_in = dim_in or dim
+    dk = dim // heads
+    p: Dict[str, Any] = {}
+
+    def qkv(key):
+        kern = convert_linear(sd[key]).reshape(dim_in, heads, dk)
+        return {"kernel": kern, "bias": np.zeros((heads, dk), np.float32)}
+
+    def norm_scale(base):
+        key = _first_key(sd, f"{base}.0.g", f"{base}.g",
+                         f"{base}.0.weight", f"{base}.weight")
+        if key is None:
+            raise KeyError(f"no norm param under {base}")
+        return {"scale": _np(sd[key])}
+
+    for i in range(depth):
+        a = f"{prefix}layers.{2 * i}"
+        f = f"{prefix}layers.{2 * i + 1}"
+        blk: Dict[str, Any] = {}
+        blk["norm_attn"] = norm_scale(f"{a}.0")
+        blk["norm_ff"] = norm_scale(f"{f}.0")
+
+        attn: Dict[str, Any] = {
+            "wq": qkv(f"{a}.1.to_q.weight"),
+            "wk": qkv(f"{a}.1.to_k.weight"),
+            "wv": qkv(f"{a}.1.to_v.weight"),
+        }
+        ok = _first_key(sd, f"{a}.1.to_out.weight", f"{a}.1.to_out.0.weight")
+        wo_kernel = convert_linear(sd[ok]).reshape(heads, dk, dim_in)
+        ob = _first_key(sd, f"{a}.1.to_out.bias", f"{a}.1.to_out.0.bias")
+        attn["wo"] = {"kernel": wo_kernel,
+                      "bias": _np(sd[ob]) if ob else np.zeros(dim_in, np.float32)}
+        blk["attn"] = attn
+
+        pk = _first_key(sd, f"{f}.1.ff.0.proj.weight", f"{f}.1.net.0.proj.weight")
+        if pk is None:
+            raise KeyError(f"no GLU proj under {f}.1")
+        proj_w = convert_linear(sd[pk])            # [dim_in, 2*hidden]
+        hidden = proj_w.shape[1] // 2
+        proj_b = _np(sd[pk.replace(".weight", ".bias")])
+        # x-transformers GLU: value = first half, gate = second half
+        # (x * act(gate)); our FeedForward gates through wi_gate
+        ff = {"wi": {"kernel": proj_w[:, :hidden], "bias": proj_b[:hidden]},
+              "wi_gate": {"kernel": proj_w[:, hidden:], "bias": proj_b[hidden:]}}
+        wk_out = _first_key(
+            sd, *[f"{f}.1.{net}.{j}.weight" for net in ("ff", "net")
+                  for j in (1, 2, 3)])
+        if wk_out is None:
+            raise KeyError(f"no ff output linear under {f}.1")
+        ff["wo"] = {"kernel": convert_linear(sd[wk_out]),
+                    "bias": _np(sd[wk_out.replace(".weight", ".bias")])}
+        blk["ff"] = ff
+        p[f"block_{i}"] = blk
+
+    fk = _first_key(sd, f"{prefix}final_norm.g", f"{prefix}norm.g",
+                    f"{prefix}final_norm.weight", f"{prefix}norm.weight")
+    if fk is not None:
+        p["RMSNorm_0"] = {"scale": _np(sd[fk])}
+    return p
+
+
+def convert_lrw_word_model(sd: Dict[str, Any], depth: int = 12,
+                           dim: int = 512, heads: int = 8,
+                           use_word_boundary: bool = True,
+                           prefix: str = "") -> Tuple[Dict, Dict]:
+    """Released LRW transformer checkpoint (LRW_CKPT_epoch_167_step_213864
+    layout: stem3d + timm resnet18 trunk + x-transformers encoder + heads,
+    LRW/video/src/lightning.py:36-110) -> WordVSRModel (params, batch_stats).
+
+    Load into ``lrw_video_config()`` overridden with ``encoder.rope_dim=32``
+    and ``encoder.hidden=<4 * (dim+1)>`` (x-transformers sizes the FF from the
+    widened dim_backbone).
+    """
+    dim_in = dim + (1 if use_word_boundary else 0)
+    p: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    fe_p, fe_s = convert_frontend(sd, f"{prefix}stem3d.", f"{prefix}resnet.")
+    p["frontend"] = fe_p
+    stats["frontend"] = fe_s
+    p["encoder"] = convert_xtransformers_encoder(
+        sd, f"{prefix}encoder.", depth, dim, heads, dim_in=dim_in)
+    p["cls_token"] = _np(sd[f"{prefix}cls_token"]).reshape(1, 1, dim_in)
+    p["category_classifier"] = convert_word_classifier(
+        sd, f"{prefix}category_classifier.")
+    key = _first_key(sd, f"{prefix}audio_projection.weight",
+                     f"{prefix}audio_classifier.weight")
+    if key:
+        p["audio_classifier"] = convert_sync_head(sd, key[: -len("weight")])
+    return p, stats
+
+
+# ---------------------------------------------------------------------------
 # Full LRS E2E checkpoint (the released Vox+LRS2+LRS3.ckpt layout)
 # ---------------------------------------------------------------------------
 
