@@ -86,6 +86,55 @@ def test_landmark_transform_recipes():
     assert (padded[10:] == -100.0).all()
 
 
+def test_grad_accum_equivalence(mesh8):
+    """optim.accum_steps=2 over two half batches == one full-batch step
+    (MultiSteps averages micro-grads; every loss is a mean)."""
+    import jax
+
+    from syncvsr_tpu.data.synthetic import word_batch
+    from syncvsr_tpu.engine import build_train_step, create_train_state
+    from syncvsr_tpu.models import build_model
+    from syncvsr_tpu.parallel import shard_batch
+
+    base = {
+        "model.encoder.layers": 2, "model.encoder.dim": 32,
+        "model.encoder.heads": 2, "model.frontend.input_features": 12,
+        "model.labels": 11, "model.codec.audio_vocab_size": 17,
+        "model.dtype": "float32",
+        "model.encoder.emb_dropout": 0.0, "model.encoder.msa_dropout": 0.0,
+        "model.encoder.mlp_dropout": 0.0, "model.encoder.droppath": 0.0,
+        "data.use_cutmix": False, "data.batch_size": 16,
+        "optim.total_steps": 100, "optim.warmup_steps": 1,
+    }
+    from syncvsr_tpu.config import lrw_landmark_config
+
+    cfg1 = lrw_landmark_config().override(**base)
+    cfg2 = lrw_landmark_config().override(**dict(base, **{"optim.accum_steps": 2}))
+
+    full = word_batch(cfg1, 16, seed=0)
+    halves = [{k: v[:8] for k, v in full.items()},
+              {k: v[8:] for k, v in full.items()}]
+
+    model1 = build_model(cfg1)
+    s1 = create_train_state(cfg1, model1, {k: jnp.asarray(v) for k, v in full.items()})
+    step1 = build_train_step(mesh8, donate=False)
+    s1, m1 = step1(s1, shard_batch(mesh8, full))
+
+    model2 = build_model(cfg2)
+    s2 = create_train_state(cfg2, model2, {k: jnp.asarray(v)[:8] for k, v in full.items()})
+    step2 = build_train_step(mesh8, donate=False)
+    for h in halves:
+        s2, m2 = step2(s2, shard_batch(mesh8, h))
+
+    # one optimizer application happened in both runs
+    p1 = jax.device_get(s1.params)
+    p2 = jax.device_get(s2.params)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
 def test_train_driver_lrw_video_data(tmp_path, mesh8):
     """Full data path: LRW pkl tree -> factory loaders -> train driver."""
     import cv2
