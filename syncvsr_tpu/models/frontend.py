@@ -51,15 +51,15 @@ class Conv3DResNetFrontend(nn.Module):
 
             x = stem_conv3d_reference(x, kernel, self.dtype)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype, param_dtype=jnp.float32, name="stem_bn")(x)
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name="stem_bn")(x)
         x = activation(self.stem_act)(x)
         # MaxPool3D (1,3,3) stride (1,2,2) pad (0,1,1)
         x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), padding=((0, 0), (1, 1), (1, 1)))
-        b, t, h, w, c = x.shape
-        x = x.reshape(b * t, h, w, c)
-        x = ResNetTrunk(self.width, relu_type=self.relu_type, dtype=self.dtype,
-                        name="resnet")(x, train)
-        return x.reshape(b, t, -1)
+        # trunk runs on the 5D tensor (kt=1 convs): one layout from stem to
+        # pooling, no [B,T]->[B*T] reshape copies
+        return ResNetTrunk(self.width, relu_type=self.relu_type,
+                           dtype=self.dtype, name="resnet")(x, train)
 
 
 class LandmarkFrontend(nn.Module):

@@ -21,6 +21,43 @@ from syncvsr_tpu.models.layers import activation
 Array = jax.Array
 
 
+class SpatialConv(nn.Module):
+    """2D spatial conv that also accepts 5D [B, T, H, W, C] input, applied
+    per frame as a kt=1 conv3d with the SAME [kh, kw, I, O] parameter.
+
+    Keeping the video trunk 5D end-to-end lets XLA hold one layout from the
+    stem through the trunk — the logical [B,T,...] -> [B*T,...] reshape at
+    this boundary otherwise materializes two full-tensor layout copies
+    (~1.6 GB/step at bs 96 on the LRW workload, measured from the compiled
+    HLO)."""
+
+    channels: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.variance_scaling(
+            2.0, "fan_out", "truncated_normal"),
+            (k, k, x.shape[-1], self.channels))
+        pad = (k - 1) // 2
+        if x.ndim == 4:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w[None].astype(self.dtype),
+            window_strides=(1, self.stride, self.stride),
+            padding=((0, 0), (pad, pad), (pad, pad)),
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            preferred_element_type=self.dtype)
+
+
 class BasicBlock(nn.Module):
     channels: int
     stride: int = 1
@@ -30,28 +67,24 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         act = activation(self.relu_type)
-        conv = lambda c, s, name: nn.Conv(c, (3, 3), (s, s), padding=1, use_bias=False,
-                                          dtype=self.dtype, param_dtype=jnp.float32,
-                                          name=name)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                       dtype=self.dtype, param_dtype=jnp.float32,
-                                       name=name)
+        conv = lambda k, s, name: SpatialConv(self.channels, k, s, self.dtype,
+                                              name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, dtype=self.dtype,
+                                       param_dtype=jnp.float32, name=name)
         residual = x
-        y = act(bn("bn1")(conv(self.channels, self.stride, "conv1")(x)))
-        y = bn("bn2")(conv(self.channels, 1, "conv2")(y))
+        y = act(bn("bn1")(conv(3, self.stride, "conv1")(x)))
+        y = bn("bn2")(conv(3, 1, "conv2")(y))
         if self.stride != 1 or x.shape[-1] != self.channels:
-            residual = nn.Conv(self.channels, (1, 1), (self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                               name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    dtype=self.dtype, param_dtype=jnp.float32,
-                                    name="downsample_bn")(residual)
+            residual = conv(1, self.stride, "downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
         return act(y + residual)
 
 
 class ResNetTrunk(nn.Module):
     """layer1..layer4 of ResNet-18 (stems live in the frontends). Input
-    [N, H, W, C_in]; output [N, 512*width/64] after global average pooling."""
+    [N, H, W, C_in] or video [B, T, H, W, C_in]; output [N, 512*width/64]
+    (or [B, T, ...]) after global spatial average pooling."""
 
     width: int = 64
     blocks: Sequence[int] = (2, 2, 2, 2)
@@ -66,7 +99,8 @@ class ResNetTrunk(nn.Module):
                 stride = 2 if (i > 0 and j == 0) else 1
                 x = BasicBlock(channels, stride, self.relu_type, self.dtype,
                                name=f"layer{i + 1}_{j}")(x, train)
-        return jnp.mean(x, axis=(1, 2))
+        spatial = (1, 2) if x.ndim == 4 else (2, 3)
+        return jnp.mean(x, axis=spatial)
 
 
 class BasicBlock1D(nn.Module):
@@ -81,9 +115,9 @@ class BasicBlock1D(nn.Module):
         conv = lambda c, k, s, name: nn.Conv(c, (k,), (s,), padding="SAME", use_bias=False,
                                              dtype=self.dtype, param_dtype=jnp.float32,
                                              name=name)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                       dtype=self.dtype, param_dtype=jnp.float32,
-                                       name=name)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, dtype=self.dtype,
+                                       param_dtype=jnp.float32, name=name)
         residual = x
         y = act(bn("bn1")(conv(self.channels, 3, self.stride, "conv1")(x)))
         y = bn("bn2")(conv(self.channels, 3, 1, "conv2")(y))
@@ -91,9 +125,7 @@ class BasicBlock1D(nn.Module):
             residual = nn.Conv(self.channels, (1,), (self.stride,), use_bias=False,
                                dtype=self.dtype, param_dtype=jnp.float32,
                                name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    dtype=self.dtype, param_dtype=jnp.float32,
-                                    name="downsample_bn")(residual)
+            residual = bn("downsample_bn")(residual)
         return act(y + residual)
 
 
@@ -113,8 +145,9 @@ class ResNet1D(nn.Module):
         act = activation(self.relu_type)
         x = nn.Conv(self.width, (80,), (4,), padding="SAME", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="stem_bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name="stem_bn")(x)
         x = act(x)
         for i, n in enumerate(self.blocks):
             channels = self.width * (2 ** i)

@@ -66,6 +66,52 @@ def test_center_crop():
     np.testing.assert_allclose(np.asarray(out), np.asarray(v)[:, :, 4:12, 4:12])
 
 
+def test_fused_aug_identity_and_flip():
+    """fused_train_aug with a full deterministic crop reproduces the
+    normalized source; hflip_prob=1 mirrors it exactly."""
+    from syncvsr_tpu.ops.image import fused_train_aug
+
+    rng = jax.random.PRNGKey(3)
+    v = _videos(h=8, w=8)
+    base = fused_train_aug(rng, v, 8, scale=(1.0, 1.0), ratio=(1.0, 1.0),
+                           hflip_prob=0.0, time_mask_span=0, time_mask_n=0,
+                           dtype=jnp.float32)
+    expect = (np.asarray(v).astype(np.float32) / 255.0 - 0.421) / 0.165
+    np.testing.assert_allclose(np.asarray(base), expect, rtol=1e-4, atol=1e-4)
+
+    flipped = fused_train_aug(rng, v, 8, scale=(1.0, 1.0), ratio=(1.0, 1.0),
+                              hflip_prob=1.0, time_mask_span=0, time_mask_n=0,
+                              dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(flipped),
+                               np.asarray(base)[:, :, :, ::-1], rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_fused_aug_time_mask_and_shapes():
+    from syncvsr_tpu.ops.image import fused_train_aug
+
+    v = _videos(h=12, w=14)
+    out = fused_train_aug(jax.random.PRNGKey(0), v, 8, time_mask_span=2,
+                          time_mask_n=1)
+    assert out.shape == (2, 3, 8, 8, 1)
+    assert out.dtype == jnp.bfloat16
+    # masked frames (if any) are constant = normalized clip mean
+    outs = [np.asarray(fused_train_aug(jax.random.PRNGKey(s), v, 8,
+                                       scale=(1.0, 1.0), ratio=(1.0, 1.0),
+                                       hflip_prob=0.0, time_mask_span=3,
+                                       time_mask_n=1, dtype=jnp.float32))
+            for s in range(8)]
+    found = False
+    for o in outs:
+        for b in range(o.shape[0]):
+            for t in range(o.shape[1]):
+                frame = o[b, t]
+                if np.allclose(frame, frame.flat[0], atol=1e-5) \
+                        and not np.allclose(o[b], o[b].flat[0], atol=1e-5):
+                    found = True
+    assert found, "no time-masked frame observed across seeds"
+
+
 def test_word_aug_pipeline():
     cfg = lrw_video_config().override(**{"data.crop_size": 8})
     aug = build_word_aug(cfg.data)
