@@ -160,12 +160,31 @@ class LRSBucketLoader:
                                 self.config.data.batch_size // jax.process_count(),
                                 self.config.data.max_label_len,
                                 codec.vq_groups, codec.audio_alignment)
-        for i in idx:
-            b = batcher.add(self.ds[int(i)])
-            if b is not None:
+        # pkl read + JPEG decode release the GIL: keep a bounded window of
+        # fetches in flight on a thread pool, collate in submission order
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        threads = _num_threads(self.config)
+        pool = ThreadPoolExecutor(max_workers=threads)
+        try:
+            window = max(2 * threads, 8)
+            pending = deque(pool.submit(self.ds.__getitem__, int(i))
+                            for i in idx[:window])
+            nxt = len(pending)
+            while pending:
+                sample = pending.popleft().result()
+                if nxt < len(idx):
+                    pending.append(
+                        pool.submit(self.ds.__getitem__, int(idx[nxt])))
+                    nxt += 1
+                b = batcher.add(sample)
+                if b is not None:
+                    yield b
+            for b in batcher.flush():
                 yield b
-        for b in batcher.flush():
-            yield b
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def _lrs_loaders(config: Config, eval_split: str = "val"):

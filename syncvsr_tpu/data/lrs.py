@@ -36,6 +36,10 @@ class LRSDataset:
 
     def __post_init__(self):
         self.rng = self.rng or np.random.RandomState(0)
+        # __getitem__ runs on loader threads; RandomState is not thread-safe
+        import threading
+
+        self._rng_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -50,12 +54,13 @@ class LRSDataset:
         if t > self.max_frames or (self.length_distribution is not None
                                    and t > int(self.length_distribution.max())):
             # sample a window whose length follows the empirical histogram
-            if self.length_distribution is not None:
-                wlen = int(self.rng.choice(self.length_distribution))
-            else:
-                wlen = self.max_frames
-            wlen = min(wlen, self.max_frames, t)
-            start = self.rng.randint(0, t - wlen + 1)
+            with self._rng_lock:
+                if self.length_distribution is not None:
+                    wlen = int(self.rng.choice(self.length_distribution))
+                else:
+                    wlen = self.max_frames
+                wlen = min(wlen, self.max_frames, t)
+                start = self.rng.randint(0, t - wlen + 1)
             end = start + wlen
             text = self._window_text(data, start, end, text)
 

@@ -1,0 +1,137 @@
+"""A/B the train-mode BatchNorm implementations on the real accelerator.
+
+Round-1 profile: the four per-stage BN statistics reductions cost ~26 ms of
+the 116 ms LRW step, running as XLA convert+reduce fusions at ~115 GB/s.
+`ops/pallas_bn.py` streams the activation once with f32 VMEM accumulators and
+an analytic VJP. This tool measures both at the shapes the ResNet trunk
+actually sees, plus the full LRW train step with the trunk's BN swapped.
+
+Usage: python -m syncvsr_tpu.tools.bench_bn [micro|step]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    jnp.asarray(x).block_until_ready() if jax.default_backend() == "cpu" \
+        else float(jnp.asarray(x).reshape(-1)[0])
+
+
+def _time(fn, *args, iters=20):
+    out = fn(*args)
+    _sync(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_micro():
+    """Forward+backward through one BN at each ResNet stage shape (bs 96)."""
+    import flax.linen as nn
+
+    from syncvsr_tpu.ops.pallas_bn import FastBatchNorm
+
+    # [B*T, H, W, C] activations of layer1..4 at bs 96, T 29, 96x96 crops
+    shapes = [(96 * 29, 24, 24, 64), (96 * 29, 12, 12, 128),
+              (96 * 29, 6, 6, 256), (96 * 29, 3, 3, 512)]
+    rng = np.random.RandomState(0)
+    results = []
+    for shape in shapes:
+        x = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+
+        def run(mod):
+            v = mod.init(jax.random.PRNGKey(0), x)
+
+            def loss(params, x):
+                y, _ = mod.apply({"params": params, **{k: v[k] for k in v
+                                                       if k != "params"}},
+                                 x, mutable=["batch_stats"])
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+
+            g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+            return _time(lambda: g(v["params"], x))
+
+        t_flax = run(nn.BatchNorm(use_running_average=False, momentum=0.9,
+                                  dtype=jnp.bfloat16))
+        t_fast = run(FastBatchNorm(use_running_average=False, momentum=0.9,
+                                   dtype=jnp.bfloat16))
+        gb = 2 * x.size * 2 / 2 ** 30  # fwd reads x; bwd reads g(+x) — lower bound
+        results.append({"shape": list(shape),
+                        "flax_ms": round(t_flax * 1e3, 2),
+                        "pallas_ms": round(t_fast * 1e3, 2),
+                        "speedup": round(t_flax / t_fast, 2),
+                        "min_gb_moved": round(gb, 2)})
+    print(json.dumps(results, indent=1))
+
+
+def bench_step(fast: bool):
+    """Full LRW train step; `fast` swaps every nn.BatchNorm for FastBatchNorm."""
+    import flax.linen as nn
+
+    if fast:
+        from syncvsr_tpu.ops.pallas_bn import FastBatchNorm
+        from syncvsr_tpu.models import resnet, frontend
+
+        def mk(use_running_average, momentum=0.9, dtype=jnp.float32,
+               param_dtype=jnp.float32, name=None, **kw):
+            return FastBatchNorm(use_running_average=use_running_average,
+                                 momentum=momentum, dtype=dtype, name=name)
+
+        resnet.nn.BatchNorm = mk  # type: ignore[attr-defined]
+        frontend.nn.BatchNorm = mk  # type: ignore[attr-defined]
+
+    from syncvsr_tpu.config import lrw_video_config
+    from syncvsr_tpu.data.synthetic import word_batch
+    from syncvsr_tpu.engine import build_train_step, create_train_state
+    from syncvsr_tpu.models import build_model
+    from syncvsr_tpu.ops.image import build_word_aug
+
+    batch_size = 96
+    config = lrw_video_config().override(**{"data.batch_size": batch_size})
+    model = build_model(config)
+    rng = np.random.RandomState(0)
+    raw = word_batch(config, batch_size)
+    h = config.data.crop_size
+    w = int(h * 112 / 96)
+    raw["inputs"] = rng.randint(0, 256, (batch_size, 29, h, w, 1)).astype(np.uint8)
+    init_batch = dict(raw)
+    init_batch["inputs"] = jnp.zeros((batch_size, 29, h, h, 1), jnp.float32)
+    state = create_train_state(
+        config, model, {k: jnp.asarray(v) for k, v in init_batch.items()})
+    step = build_train_step(mesh=None, donate=True,
+                            aug_fn=build_word_aug(config.data))
+    device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
+    for _ in range(3):
+        state, metrics = step(state, device_batch)
+    float(metrics["loss"])
+    n = 10
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, device_batch)
+        float(metrics["loss"])
+        dt = min(dt, time.perf_counter() - t0)
+    print(json.dumps({"mode": "step", "fast_bn": fast,
+                      "ms_per_step": round(dt / n * 1e3, 2),
+                      "frames_per_sec": round(batch_size * 29 * n / dt, 1)}))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "micro"
+    if mode == "micro":
+        bench_micro()
+    elif mode == "step":
+        bench_step(fast=len(sys.argv) > 2 and sys.argv[2] == "fast")
+    else:
+        raise SystemExit(f"unknown mode {mode}")

@@ -1,0 +1,107 @@
+"""Measure the host data-pipeline feed rate against the TPU step rate.
+
+VERDICT r1 #6: the training loader must sustain clips/sec above the chip's
+consumption (bs 96 at ~8.6 steps/s = ~830 clips/s on a full v5e host). This
+tool builds a synthetic LRW pkl tree at the real geometry (29 frames of
+96h x 112w grayscale JPEG per clip, vq tokens, durations.csv — the layout of
+reference LRW/video/src/preprocess_pkl.py:209-225), then drives the *real*
+factory loader (native batch JPEG decode + thread pool + prefetch) and
+reports clips/sec, scaling over thread counts.
+
+Usage: python -m syncvsr_tpu.tools.bench_loader [n_clips] [threads,threads,..]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def make_tree(root: Path, n_clips: int, frames: int = 29,
+              size=(96, 112), vocab: int = 320, seed: int = 0) -> int:
+    import cv2
+    import pandas as pd
+    import torch
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    word = "ABOUT"
+    d = root / word / "train"
+    d.mkdir(parents=True, exist_ok=True)
+    # natural-image-ish frames so JPEG decode cost is realistic (pure noise
+    # inflates entropy ~3x vs lip crops)
+    base = cv2.GaussianBlur(
+        rng.randint(0, 256, size, np.uint8), (0, 0), 3)
+    for i in range(n_clips):
+        jpgs = []
+        for f in range(frames):
+            img = np.clip(base.astype(np.int16)
+                          + rng.randint(-20, 20, size), 0, 255).astype(np.uint8)
+            jpgs.append(cv2.imencode(".jpg", img)[1].tobytes())
+        tokens = torch.tensor(rng.randint(0, vocab, (1, frames * 4 + 4, 2)))
+        torch.save({"video": jpgs, "vq_tokens": tokens},
+                   d / f"{word}_{i:05d}.pkl")
+        rows.append((f"train/{word}_{i:05d}", 11))
+    pd.DataFrame(rows, columns=["id", "length"]).to_csv(
+        root / "durations.csv", index=False)
+    return n_clips
+
+
+def bench(root: str, threads: int, batch_size: int = 96,
+          max_batches: int = 50) -> dict:
+    from syncvsr_tpu.config import lrw_video_config
+    from syncvsr_tpu.data.factory import build_loaders
+    from syncvsr_tpu.data.jpeg import native_available
+
+    config = lrw_video_config().override(**{
+        "data.root": root, "data.batch_size": batch_size,
+        "data.eval_batch_size": batch_size, "data.num_workers": threads})
+    train_loader, _ = build_loaders(config)
+    it = iter(train_loader)
+    first = next(it)  # warm: builds the native lib, fills prefetch
+    n = 0
+    t0 = time.perf_counter()
+    for batch in it:
+        n += batch["inputs"].shape[0]
+        if n >= max_batches * batch_size:
+            break
+    dt = time.perf_counter() - t0
+    cps = n / dt if n else 0.0
+    return {"threads": threads, "clips_per_sec": round(cps, 1),
+            "frames_per_sec": round(cps * 29, 1),
+            "native_decoder": native_available(),
+            "batch_shape": list(first["inputs"].shape)}
+
+
+def main():
+    n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    threads = ([int(t) for t in sys.argv[2].split(",")]
+               if len(sys.argv) > 2 else [1, 4, 8])
+    tmp = Path(tempfile.mkdtemp(prefix="bench_loader_"))
+    try:
+        t0 = time.perf_counter()
+        make_tree(tmp, n_clips)
+        gen_s = time.perf_counter() - t0
+        results = [bench(str(tmp), t, max_batches=max(2, n_clips // 96))
+                   for t in threads]
+        step_clips = 96 * 8.6  # chip consumption at the round-1 step rate
+        print(json.dumps({
+            "n_clips": n_clips, "tree_gen_s": round(gen_s, 1),
+            "host_cpus": __import__("os").cpu_count(),
+            "required_clips_per_sec_per_chip": round(step_clips, 1),
+            "results": results,
+            "feed_ratio_best": round(
+                max(r["clips_per_sec"] for r in results) / step_clips, 3),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
