@@ -157,6 +157,11 @@ class DataConfig:
     num_workers: int = 0
     # length bucketing for sentence-level (replaces dynamic shapes under XLA)
     length_buckets: Tuple[int, ...] = (160, 320, 640, 1200, 1800)
+    # frames budget per batch: long buckets get proportionally smaller
+    # batches (per-bucket bs = clamp(max_batch_frames // bucket, 1,
+    # batch_size)); 0 disables. Keeps the 1800-frame bucket inside one
+    # chip's HBM while short buckets keep the full batch size.
+    max_batch_frames: int = 0
     spm_vocab: str = ""
 
 

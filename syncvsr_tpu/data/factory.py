@@ -159,7 +159,10 @@ class LRSBucketLoader:
         batcher = BucketBatcher(self.config.data.length_buckets,
                                 self.config.data.batch_size // jax.process_count(),
                                 self.config.data.max_label_len,
-                                codec.vq_groups, codec.audio_alignment)
+                                codec.vq_groups, codec.audio_alignment,
+                                max_batch_frames=(
+                                    self.config.data.max_batch_frames
+                                    // jax.process_count()))
         # pkl read + JPEG decode release the GIL: keep a bounded window of
         # fetches in flight on a thread pool, collate in submission order
         from collections import deque

@@ -117,18 +117,25 @@ class BucketBatcher:
 
     def __init__(self, buckets: Sequence[int], batch_size: int,
                  max_label_len: int = 128, vq_groups: int = 2,
-                 audio_alignment: int = 4):
+                 audio_alignment: int = 4, max_batch_frames: int = 0):
         self.buckets = tuple(sorted(buckets))
         self.batch_size = batch_size
         self.max_label_len = max_label_len
         self.vq_groups = vq_groups
         self.audio_alignment = audio_alignment
+        # frames-budget batching: per-bucket batch size shrinks with length
+        # so the padded [bs, bucket, H, W] volume stays bounded (the XLA
+        # static-shape replacement for the reference's pad-to-longest collate)
+        self.bucket_bs = {
+            b: (min(batch_size, max(1, max_batch_frames // b))
+                if max_batch_frames else batch_size)
+            for b in self.buckets}
         self.pools: Dict[int, list] = {b: [] for b in self.buckets}
 
     def add(self, sample: Dict[str, np.ndarray]):
         b = bucket_for_length(int(sample["lengths"]), self.buckets)
         self.pools[b].append(sample)
-        if len(self.pools[b]) == self.batch_size:
+        if len(self.pools[b]) == self.bucket_bs[b]:
             batch = self._collate(self.pools[b], b)
             self.pools[b] = []
             return batch
@@ -138,7 +145,7 @@ class BucketBatcher:
         out = []
         for b, pool in self.pools.items():
             if pool:
-                while len(pool) < self.batch_size:  # repeat-pad the tail batch
+                while len(pool) < self.bucket_bs[b]:  # repeat-pad the tail batch
                     pool.append(pool[-1])
                 out.append(self._collate(pool, b))
                 self.pools[b] = []

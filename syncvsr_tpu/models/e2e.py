@@ -84,7 +84,14 @@ class SentenceVSRModel(nn.Module):
 
     def encode(self, videos: Array, lengths: Array, det: bool = True) -> Array:
         """Frontend + conformer; returns [B, T, adim] (decoding entry point)."""
-        feats = self.frontend(videos, train=not det)
+        if self.cfg.remat and not det:
+            # At the 1800-frame bucket the ResNet frontend's per-frame
+            # activations (not the conformer's) dominate HBM; recompute them
+            # in the backward pass like the encoder blocks.
+            feats = nn.remat(lambda mdl, v: mdl(v, train=True))(
+                self.frontend, videos)
+        else:
+            feats = self.frontend(videos, train=not det)
         pad_mask = length_mask(self.frame_lengths(videos, lengths), feats.shape[1])
         return self.encoder(feats, pad_mask, det=det)
 

@@ -29,6 +29,7 @@ class Conv3DResNetFrontend(nn.Module):
     width: int = 64
     relu_type: str = "swish"
     stem_act: str = "gelu"   # LRW stem uses GELU (lightning.py:52)
+    fold_threshold: int = 256  # fold [B,T,...] -> [B*T,...] at/above this T
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -50,16 +51,34 @@ class Conv3DResNetFrontend(nn.Module):
             from syncvsr_tpu.ops.stem import stem_conv3d_reference
 
             x = stem_conv3d_reference(x, kernel, self.dtype)
+        # Long clips (sentence buckets): fold time into batch after the only
+        # temporal op (the stem conv). At bs 1 x T 1800 XLA otherwise keeps
+        # batch-minor 5D layouts whose (C 64->128, B 1->2) tile padding
+        # inflates HLO temps ~2.7x and OOMs one chip; the fold costs two
+        # layout copies but halves padded memory. BN statistics reduce over
+        # all non-channel axes either way — numerics are identical. Short
+        # clips (LRW, T=29, large batch) keep the copy-free 5D path.
+        fold = x.shape[1] >= self.fold_threshold
+        if fold:
+            b, t = x.shape[0], x.shape[1]
+            x = x.reshape((b * t,) + x.shape[2:])
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name="stem_bn")(x)
         x = activation(self.stem_act)(x)
-        # MaxPool3D (1,3,3) stride (1,2,2) pad (0,1,1)
-        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), padding=((0, 0), (1, 1), (1, 1)))
+        # MaxPool3D (1,3,3) stride (1,2,2) pad (0,1,1) (time never pooled)
+        if fold:
+            x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        else:
+            x = nn.max_pool(x, (1, 3, 3), (1, 2, 2),
+                            padding=((0, 0), (1, 1), (1, 1)))
         # trunk runs on the 5D tensor (kt=1 convs): one layout from stem to
         # pooling, no [B,T]->[B*T] reshape copies
-        return ResNetTrunk(self.width, relu_type=self.relu_type,
-                           dtype=self.dtype, name="resnet")(x, train)
+        feats = ResNetTrunk(self.width, relu_type=self.relu_type,
+                            dtype=self.dtype, name="resnet")(x, train)
+        if fold:
+            feats = feats.reshape(b, t, feats.shape[-1])
+        return feats
 
 
 class LandmarkFrontend(nn.Module):

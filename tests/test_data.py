@@ -230,3 +230,24 @@ def test_error_calculator_cer():
     ec.update("HELLO WORLD", "HELLO WORD")
     assert ec.wer == pytest.approx(1 / 2)
     assert ec.cer == pytest.approx(1 / 10)
+
+
+def test_bucket_batcher_frames_budget():
+    """max_batch_frames shrinks long buckets' batch size (1800-frame batches
+    stay inside one chip's HBM) while short buckets keep the full size."""
+    bb = BucketBatcher((160, 640, 1800), batch_size=16, max_label_len=8,
+                       max_batch_frames=2560)
+    assert bb.bucket_bs == {160: 16, 640: 4, 1800: 1}
+
+    def sample(t):
+        return {"videos": np.zeros((t, 4, 4, 1), np.uint8),
+                "labels": np.array([2, 3], np.int32),
+                "audio_tokens": np.zeros((t * 4, 2), np.int32),
+                "lengths": np.int32(t)}
+
+    out = bb.add(sample(1700))
+    assert out is not None and out["videos"].shape == (1, 1800, 4, 4, 1)
+    for i in range(3):
+        assert bb.add(sample(600)) is None
+    out = bb.add(sample(500))
+    assert out is not None and out["videos"].shape == (4, 640, 4, 4, 1)

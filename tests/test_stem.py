@@ -28,3 +28,22 @@ def test_s2d_gradients_match():
     g_s2d = jax.grad(lambda k: stem_conv3d_s2d(x, k, jnp.float32).sum())(k)
     np.testing.assert_allclose(np.asarray(g_s2d), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_frontend_fold_matches_5d_path():
+    """Long-clip [B*T] folding (frontend.py fold_threshold) is numerically
+    identical to the 5D trunk path — fwd, train mode, and BN batch stats."""
+    from syncvsr_tpu.models.frontend import Conv3DResNetFrontend
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 6, 16, 16, 1), jnp.float32)
+    m5 = Conv3DResNetFrontend(fold_threshold=10 ** 9, dtype=jnp.float32)
+    mf = Conv3DResNetFrontend(fold_threshold=1, dtype=jnp.float32)
+    v = m5.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(m5.apply(v, x)),
+                               np.asarray(mf.apply(v, x)), rtol=1e-4, atol=1e-4)
+    y5, s5 = m5.apply(v, x, train=True, mutable=["batch_stats"])
+    yf, sf = mf.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y5), np.asarray(yf), rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s5),
+                    jax.tree_util.tree_leaves(sf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
