@@ -28,7 +28,11 @@ import numpy as np
 from syncvsr_tpu.config import PRESETS, Config, parse_cli_overrides
 from syncvsr_tpu.data.factory import build_loaders
 from syncvsr_tpu.decode import BeamSearchConfig
-from syncvsr_tpu.decode.api import make_beam_decoder, make_greedy_ctc_decoder
+from syncvsr_tpu.decode.api import (
+    make_batched_beam_decoder,
+    make_beam_decoder,
+    make_greedy_ctc_decoder,
+)
 from syncvsr_tpu.engine import build_eval_step, create_train_state
 from syncvsr_tpu.models import build_model
 from syncvsr_tpu.ops.image import (
@@ -123,6 +127,24 @@ def main():
                 hyp = tt.post_process(np.asarray(toks)[: int(n)])
                 ref = tt.post_process(np.asarray(batch["labels"][i]))
                 record(ref, hyp, float(score))
+    elif decode_mode == "beam_batched":
+        # one XLA program decodes a whole padded bucket (vmap'd beam search);
+        # one compile per distinct bucket length
+        bs_config = BeamSearchConfig(beam_size=beam_size,
+                                     ctc_weight=config.model.mtlalpha)
+        decoders = {}
+        for batch in eval_loader:
+            batch = eval_transform(batch)
+            t = batch["videos"].shape[1]
+            if t not in decoders:
+                decoders[t] = make_batched_beam_decoder(
+                    model, variables, bs_config, max_len=t)
+            toks, ns, scores = decoders[t](jnp.asarray(batch["videos"]),
+                                           jnp.asarray(batch["lengths"]))
+            for i in range(batch["videos"].shape[0]):
+                hyp = tt.post_process(np.asarray(toks)[i][: int(ns[i])])
+                ref = tt.post_process(np.asarray(batch["labels"][i]))
+                record(ref, hyp, float(scores[i]))
     else:
         decode = make_greedy_ctc_decoder(model, variables)
         for batch in eval_loader:

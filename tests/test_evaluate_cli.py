@@ -83,3 +83,18 @@ def test_evaluate_sentence_greedy(monkeypatch, capsys, tmp_path):
     assert "test/wer" in res
     # hypothesis dump written
     assert (tmp_path / "hypotheses.jsonl").exists()
+
+
+def test_evaluate_sentence_beam_batched(monkeypatch, capsys, tmp_path):
+    """decode=beam_batched (vmap'd whole-bucket beam search) produces the
+    same hypotheses as the per-utterance beam decoder."""
+    monkeypatch.chdir(tmp_path)
+
+    def hyps(args):
+        _run_main(monkeypatch, capsys, args)
+        return [json.loads(l)["hyp"] for l in
+                open(tmp_path / "hypotheses.jsonl").read().splitlines()]
+
+    per_utt = hyps(SENT_ARGS + ["beam_size=4"])
+    batched = hyps(SENT_ARGS + ["beam_size=4", 'decode="beam_batched"'])
+    assert batched == per_utt
