@@ -25,23 +25,30 @@ def make_beam_decoder(model, variables: Dict[str, Any],
     """
     vocab = model.cfg.labels
 
-    def decoder_step(y_prev, pos, cache, memory, memory_mask):
-        return model.apply(variables, y_prev, pos, cache, memory, memory_mask,
-                           method="decoder_step")
-
-    def init_cache(w, l):
-        return model.apply(variables, w, l, method="decoder_init_cache")
-
-    lm_step = lm_init = None
-    if lm is not None and config.lm_weight != 0.0:
-        def lm_step(y_prev, pos, state):
-            return lm.apply(lm_variables, y_prev, pos, state, method="step")
-
-        def lm_init(w):
-            return lm.apply(lm_variables, w, method="init_cache")
-
+    # `variables` (and lm weights) are jit *arguments*, not closure captures:
+    # captured arrays get baked into the program as constants, which bloats
+    # the serialized module by the full parameter size (hundreds of MB at
+    # lrs3 scale — enough to wedge an AOT compile service) and forces a
+    # recompile per checkpoint.
     @jax.jit
-    def decode(videos: Array, length: Array) -> Tuple[Array, Array, Array]:
+    def decode_impl(variables, lm_variables, videos: Array, length: Array
+                    ) -> Tuple[Array, Array, Array]:
+        def decoder_step(y_prev, pos, cache, memory, memory_mask):
+            return model.apply(variables, y_prev, pos, cache, memory,
+                               memory_mask, method="decoder_step")
+
+        def init_cache(w, l):
+            return model.apply(variables, w, l, method="decoder_init_cache")
+
+        lm_step = lm_init = None
+        if lm is not None and config.lm_weight != 0.0:
+            def lm_step(y_prev, pos, state):
+                return lm.apply(lm_variables, y_prev, pos, state,
+                                method="step")
+
+            def lm_init(w):
+                return lm.apply(lm_variables, w, method="init_cache")
+
         enc = model.apply(variables, videos, length[None], det=True,
                           method="encode")[0]              # [T, D]
         flen = model.apply(variables, videos, length[None],
@@ -50,6 +57,9 @@ def make_beam_decoder(model, variables: Dict[str, Any],
         return beam_search(decoder_step, init_cache, enc, flen, ctc_logp,
                            vocab, config, max_len=max_len,
                            lm_step=lm_step, lm_init=lm_init)
+
+    def decode(videos: Array, length: Array):
+        return decode_impl(variables, lm_variables, videos, length)
 
     return decode
 
@@ -63,23 +73,26 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
     ``max_len`` must be fixed (the padded/bucketed frame count)."""
     vocab = model.cfg.labels
 
-    def decoder_step(y_prev, pos, cache, memory, memory_mask):
-        return model.apply(variables, y_prev, pos, cache, memory, memory_mask,
-                           method="decoder_step")
-
-    def init_cache(w, l):
-        return model.apply(variables, w, l, method="decoder_init_cache")
-
-    def one(enc, length, ctc_logp):
-        return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
-                           vocab, config, max_len=max_len)
-
     @jax.jit
-    def decode(videos: Array, lengths: Array):
+    def decode_impl(variables, videos: Array, lengths: Array):
+        def decoder_step(y_prev, pos, cache, memory, memory_mask):
+            return model.apply(variables, y_prev, pos, cache, memory,
+                               memory_mask, method="decoder_step")
+
+        def init_cache(w, l):
+            return model.apply(variables, w, l, method="decoder_init_cache")
+
+        def one(enc, length, ctc_logp):
+            return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
+                               vocab, config, max_len=max_len)
+
         enc = model.apply(variables, videos, lengths, det=True, method="encode")
         flens = model.apply(variables, videos, lengths, method="frame_lengths")
         ctc_logp = model.apply(variables, enc, method="ctc_log_probs")
         return jax.vmap(one)(enc, flens, ctc_logp)
+
+    def decode(videos: Array, lengths: Array):
+        return decode_impl(variables, videos, lengths)
 
     return decode
 
@@ -88,10 +101,14 @@ def make_greedy_ctc_decoder(model, variables: Dict[str, Any]):
     """Batched greedy CTC decoding (no decoder/LM) — the fast path."""
 
     @jax.jit
-    def decode(videos: Array, lengths: Array) -> Tuple[Array, Array]:
+    def decode_impl(variables, videos: Array, lengths: Array
+                    ) -> Tuple[Array, Array]:
         enc = model.apply(variables, videos, lengths, det=True, method="encode")
         flens = model.apply(variables, videos, lengths, method="frame_lengths")
         ctc_logp = model.apply(variables, enc, method="ctc_log_probs")
         return ctc_greedy_decode(ctc_logp, flens)
+
+    def decode(videos: Array, lengths: Array):
+        return decode_impl(variables, videos, lengths)
 
     return decode
