@@ -62,9 +62,9 @@ class Conv3DResNetFrontend(nn.Module):
         if fold:
             b, t = x.shape[0], x.shape[1]
             x = x.reshape((b * t,) + x.shape[2:])
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype, param_dtype=jnp.float32,
-                         name="stem_bn")(x)
+        from syncvsr_tpu.models.resnet import _bn
+
+        x = _bn(train, self.dtype, "stem_bn")(x)
         x = activation(self.stem_act)(x)
         # MaxPool3D (1,3,3) stride (1,2,2) pad (0,1,1) (time never pooled)
         if fold:

@@ -17,8 +17,17 @@ import jax
 import jax.numpy as jnp
 
 from syncvsr_tpu.models.layers import activation
+from syncvsr_tpu.ops.pallas_bn import FastBatchNorm
 
 Array = jax.Array
+
+
+def _bn(train: bool, dtype, name: str) -> nn.Module:
+    """Trunk BatchNorm: FastBatchNorm (analytic custom-VJP, XLA statistics)
+    measured ~2 ms/step faster than autodiff nn.BatchNorm on the LRW video
+    step; identical params/collections/numerics (tests/test_pallas_bn.py)."""
+    return FastBatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=dtype, name=name)
 
 
 class SpatialConv(nn.Module):
@@ -69,9 +78,7 @@ class BasicBlock(nn.Module):
         act = activation(self.relu_type)
         conv = lambda k, s, name: SpatialConv(self.channels, k, s, self.dtype,
                                               name=name)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train,
-                                       momentum=0.9, dtype=self.dtype,
-                                       param_dtype=jnp.float32, name=name)
+        bn = lambda name: _bn(train, self.dtype, name)
         residual = x
         y = act(bn("bn1")(conv(3, self.stride, "conv1")(x)))
         y = bn("bn2")(conv(3, 1, "conv2")(y))
@@ -115,9 +122,7 @@ class BasicBlock1D(nn.Module):
         conv = lambda c, k, s, name: nn.Conv(c, (k,), (s,), padding="SAME", use_bias=False,
                                              dtype=self.dtype, param_dtype=jnp.float32,
                                              name=name)
-        bn = lambda name: nn.BatchNorm(use_running_average=not train,
-                                       momentum=0.9, dtype=self.dtype,
-                                       param_dtype=jnp.float32, name=name)
+        bn = lambda name: _bn(train, self.dtype, name)
         residual = x
         y = act(bn("bn1")(conv(self.channels, 3, self.stride, "conv1")(x)))
         y = bn("bn2")(conv(self.channels, 3, 1, "conv2")(y))
@@ -145,9 +150,7 @@ class ResNet1D(nn.Module):
         act = activation(self.relu_type)
         x = nn.Conv(self.width, (80,), (4,), padding="SAME", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype, param_dtype=jnp.float32,
-                         name="stem_bn")(x)
+        x = _bn(train, self.dtype, "stem_bn")(x)
         x = act(x)
         for i, n in enumerate(self.blocks):
             channels = self.width * (2 ** i)

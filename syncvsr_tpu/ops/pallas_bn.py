@@ -163,7 +163,15 @@ def pallas_bn_bwd_stats(g2d: Array, x2d: Array, mean: Array, inv: Array,
 # ---------------------------------------------------------------------------
 
 def _use_pallas() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
+    # Opt-in only: the full-step A/B (tools/bench_bn.py) measured the Pallas
+    # stats kernels SLOWER than XLA's convert+reduce fusions on the 5D video
+    # trunk (167 vs 103 ms/step — the [N, C] view re-creates layout copies),
+    # while the analytic VJP *with XLA stats* is ~2 ms/step faster than
+    # autodiff nn.BatchNorm (fewer backward reduction passes). So the module
+    # default is XLA stats + analytic VJP.
+    import os
+
+    return bool(os.environ.get("SYNCVSR_BN_PALLAS"))
 
 
 def _foldable(x2d: Array) -> bool:
