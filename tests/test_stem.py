@@ -47,3 +47,22 @@ def test_frontend_fold_matches_5d_path():
     for a, b in zip(jax.tree_util.tree_leaves(s5),
                     jax.tree_util.tree_leaves(sf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_custom_vjp_grads_match_reference():
+    """The custom VJP (im2col weight grad + transposed-conv input grad)
+    matches autodiff through the direct conv on both operands."""
+    rng = np.random.RandomState(2)
+    for h, w in [(8, 8), (10, 14)]:
+        x = jnp.asarray(rng.randn(2, 4, h, w, 1), jnp.float32)
+        k = jnp.asarray(rng.randn(5, 7, 7, 1, 8) * 0.1, jnp.float32)
+        gx_ref, gk_ref = jax.grad(
+            lambda x, k: (stem_conv3d_reference(x, k, jnp.float32) ** 2).sum(),
+            argnums=(0, 1))(x, k)
+        gx, gk = jax.grad(
+            lambda x, k: (stem_conv3d_s2d(x, k, jnp.float32) ** 2).sum(),
+            argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                                   rtol=1e-3, atol=1e-3)
