@@ -58,8 +58,11 @@ def main():
     state = create_train_state(
         config, model, {k: jnp.asarray(v) for k, v in init_batch.items()})
 
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(config.train.scoped_vmem_kib)}
+            if config.train.scoped_vmem_kib and on_accel else None)
     step = build_train_step(mesh=None, donate=True,
-                            aug_fn=build_word_aug(config.data))
+                            aug_fn=build_word_aug(config.data),
+                            compiler_options=opts)
     device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
 
     # warmup (compile); sync via host transfer — block_until_ready is not

@@ -208,6 +208,9 @@ class TrainConfig:
     profile_dir: str = "trace"  # where the trace is written
     distributed: bool = False   # call jax.distributed.initialize() (multi-host)
     tabulate: bool = False      # print the flax module summary at init
+    # per-compile XLA tuning: scoped VMEM ceiling for fusions, KiB (0 = XLA
+    # default). 65536 measured -1.7% step time on the LRW workload (v5e).
+    scoped_vmem_kib: int = 0
 
 
 @dataclass
@@ -329,6 +332,7 @@ def lrw_video_config() -> Config:
     c.data.batch_size = 96
     c.optim = OptimConfig(lr=1e-4, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
                           clip_norm=1.0, warmup_steps=15_000, total_steps=270_000)
+    c.train.scoped_vmem_kib = 65536  # -1.7% step time measured on v5e
     return c
 
 

@@ -18,11 +18,16 @@ from syncvsr_tpu.engine.state import TrainState, current_lr
 
 
 def build_train_step(mesh: Optional[Mesh] = None, donate: bool = True,
-                     aug_fn: Optional[Callable] = None) -> Callable:
+                     aug_fn: Optional[Callable] = None,
+                     compiler_options: Optional[Dict[str, str]] = None
+                     ) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     ``aug_fn(rng, batch) -> batch`` runs on-device inside the compiled step
-    (image augmentation for the video stacks)."""
+    (image augmentation for the video stacks). ``compiler_options`` are
+    backend XLA flags forwarded per-compile (e.g.
+    ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``) — per-workload tuning
+    without touching process-global XLA_FLAGS."""
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
         mixup_rng, new_mixup_rng = jax.random.split(state.mixup_rng)
@@ -56,8 +61,11 @@ def build_train_step(mesh: Optional[Mesh] = None, donate: bool = True,
         return state, metrics
 
     donate_argnums = (0,) if donate else ()
+    jit_kw = {}
+    if compiler_options:
+        jit_kw["compiler_options"] = dict(compiler_options)
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=donate_argnums)
+        return jax.jit(train_step, donate_argnums=donate_argnums, **jit_kw)
     batch_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
     if mesh.shape.get("model", 1) > 1:
@@ -69,12 +77,14 @@ def build_train_step(mesh: Optional[Mesh] = None, donate: bool = True,
             train_step,
             donate_argnums=donate_argnums,
             in_shardings=(None, batch_sh),
+            **jit_kw,
         )
     return jax.jit(
         train_step,
         donate_argnums=donate_argnums,
         in_shardings=(repl, batch_sh),
         out_shardings=(repl, repl),
+        **jit_kw,
     )
 
 

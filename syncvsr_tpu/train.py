@@ -103,7 +103,11 @@ def train(config: Config) -> Dict[str, float]:
         start_step = int(state.step)
         print(f"[train] resumed from {latest} @ step {start_step}")
 
-    train_step = build_train_step(mesh, donate=config.train.donate, aug_fn=aug_fn)
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(config.train.scoped_vmem_kib)}
+            if config.train.scoped_vmem_kib and
+            jax.default_backend() in ("tpu", "axon") else None)
+    train_step = build_train_step(mesh, donate=config.train.donate,
+                                  aug_fn=aug_fn, compiler_options=opts)
     eval_step = build_eval_step(mesh)
 
     os.makedirs(config.train.ckpt_dir, exist_ok=True)
