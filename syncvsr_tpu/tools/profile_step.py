@@ -146,7 +146,11 @@ def capture(workload: str, steps: int = 10) -> str:
     model = build_model(config)
     state = create_train_state(
         config, model, {k: jnp.asarray(v) for k, v in init.items()})
-    step = build_train_step(mesh=None, donate=True, aug_fn=aug)
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(config.train.scoped_vmem_kib)}
+            if config.train.scoped_vmem_kib
+            and jax.default_backend() in ("tpu", "axon") else None)
+    step = build_train_step(mesh=None, donate=True, aug_fn=aug,
+                            compiler_options=opts)
     batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
     for _ in range(3):
         state, metrics = step(state, batch)
@@ -178,19 +182,30 @@ def report(log_dir: str, top_k: int = 25, steps: int = 10):
         is_device = ("TPU" in p["plane"] or "GPU" in p["plane"]
                      or "device" in p["plane"].lower())
         for ln in p["lines"]:
-            # XLA op lines carry the fusion names; skip derived "Steps" lines
-            if ln["line"].lower().startswith("step"):
+            # Only the "XLA Ops" line carries real op occupancy. "Async XLA
+            # Ops" durations span each DMA's whole in-flight window (they
+            # overlap compute and sum to many x wall clock); "Steps"/"XLA
+            # Modules" double-count the op line.
+            if is_device and ln["line"] != "XLA Ops":
                 continue
             # on CPU the XLA ops live in a host-plane "tf_XLA..." line
             if is_device or ln["line"].startswith("tf_XLA"):
                 total.update(ln["events"])
                 counts.update(ln["counts"])
-    rows = [{"op": k, "ms_per_step": round(v / 1e9 / steps, 3),
+    rows = [{"op": k[:160], "ms_per_step": round(v / 1e9 / steps, 3),
              "calls_per_step": round(counts[k] / steps, 1)}
             for k, v in total.most_common(top_k)]
+    import re
+
+    by_class = collections.Counter()
+    for k, v in total.items():
+        base = re.sub(r"[.\d]+$", "", k.split(" ")[0].lstrip("%"))
+        by_class[base] += v
     print(json.dumps({
         "planes": [p["plane"] for p in planes],
         "device_ms_per_step": round(sum(total.values()) / 1e9 / steps, 2),
+        "by_class": {k: round(v / 1e9 / steps, 2)
+                     for k, v in by_class.most_common(15)},
         "top": rows}, indent=1))
 
 
