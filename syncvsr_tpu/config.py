@@ -65,7 +65,7 @@ class FrontendConfig:
 class EncoderConfig:
     """Sequence encoder settings shared by transformer/conformer/dense_tcn."""
 
-    kind: str = "transformer"  # "transformer" | "conformer" | "dense_tcn"
+    kind: str = "transformer"  # "transformer" | "conformer" | "dense_tcn" | "tcn" | "mstcn"
     layers: int = 8
     dim: int = 320
     heads: int = 4
@@ -94,6 +94,12 @@ class EncoderConfig:
     tcn_blocks: Tuple[int, ...] = (3, 3, 3, 3)
     tcn_reduced_size: int = 512
     tcn_se: bool = True
+    # classic / multibranch TCN flavour (kind="tcn" | "mstcn"; reference
+    # tcn/model.py tcn_options — the Lipreading wrapper's other back end)
+    tcn_channels: Tuple[int, ...] = (768, 768, 768)
+    tcn_kernel: int = 3          # single-kernel variant ("tcn")
+    tcn_dropout: float = 0.2
+    tcn_dwpw: bool = False
 
 
 @dataclass

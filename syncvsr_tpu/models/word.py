@@ -102,7 +102,7 @@ class WordVSRModel(nn.Module):
                 f"the token pkls")
         audio_tokens = audio_tokens[:, :need]
 
-        if enc.kind == "dense_tcn":
+        if enc.kind in ("dense_tcn", "tcn", "mstcn"):
             return self._dense_tcn_path(inputs, onehot, audio_tokens,
                                         word_mask, attention_mask, det)
         if not det:
@@ -162,9 +162,11 @@ class WordVSRModel(nn.Module):
 
     def _dense_tcn_path(self, inputs, onehot, audio_tokens, word_mask,
                         attention_mask, det):
-        """DC-TCN family (reference DCTCNLightningModule,
-        LRW/video/src/lightning.py:226-312): batch mixup on raw videos (word
-        boundaries NOT mixed), frontend + boundary-concat + DenseTCN,
+        """TCN family (reference DCTCNLightningModule,
+        LRW/video/src/lightning.py:226-312, and the Lipreading wrapper's
+        tcn_options back ends, tcn/model.py:93-177): batch mixup on raw
+        videos (word boundaries NOT mixed), frontend + boundary-concat +
+        DenseTCN / TemporalConvNet / MultibranchTemporalConvNet,
         attention-masked mean pooling, and both word/audio losses lerped
         between own and rolled-batch targets by the mixup weight."""
         cfg = self.cfg
@@ -183,11 +185,26 @@ class WordVSRModel(nn.Module):
         if cfg.use_word_boundary and word_mask is not None:
             hidden = jnp.concatenate(
                 (hidden, word_mask[:, :, None].astype(dtype)), axis=-1)
-        feats = DenseTCN(
-            growth_rates=enc.tcn_growth_rates, blocks=enc.tcn_blocks,
-            kernel_sizes=enc.tcn_kernel_sizes, dilations=enc.tcn_dilations,
-            reduced_size=enc.tcn_reduced_size, use_se=enc.tcn_se,
-            dtype=dtype, name="encoder")(hidden, train=not det)  # [B, T, C]
+        if enc.kind == "tcn":
+            from syncvsr_tpu.models.tcn import TemporalConvNet
+
+            feats = TemporalConvNet(
+                channels=enc.tcn_channels, kernel=enc.tcn_kernel,
+                dropout=enc.tcn_dropout, dwpw=enc.tcn_dwpw,
+                dtype=dtype, name="encoder")(hidden, train=not det)
+        elif enc.kind == "mstcn":
+            from syncvsr_tpu.models.tcn import MultibranchTemporalConvNet
+
+            feats = MultibranchTemporalConvNet(
+                channels=enc.tcn_channels, kernel_sizes=enc.tcn_kernel_sizes,
+                dropout=enc.tcn_dropout, dwpw=enc.tcn_dwpw,
+                dtype=dtype, name="encoder")(hidden, train=not det)
+        else:
+            feats = DenseTCN(
+                growth_rates=enc.tcn_growth_rates, blocks=enc.tcn_blocks,
+                kernel_sizes=enc.tcn_kernel_sizes, dilations=enc.tcn_dilations,
+                reduced_size=enc.tcn_reduced_size, use_se=enc.tcn_se,
+                dtype=dtype, name="encoder")(hidden, train=not det)  # [B, T, C]
 
         if attention_mask is None:
             attention_mask = jnp.ones(feats.shape[:2], jnp.float32)

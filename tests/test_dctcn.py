@@ -96,3 +96,25 @@ def test_tcn_modules_shapes():
         v = net.init(jax.random.PRNGKey(0), x, False)
         y = net.apply(v, x, False)
         assert y.shape[:2] == (2, 10)
+
+
+def test_tcn_and_mstcn_encoder_kinds_train():
+    """encoder.kind = "tcn" / "mstcn" build the Lipreading wrapper's other
+    TCN back ends (reference tcn/model.py tcn_options) end-to-end."""
+    for kind in ("tcn", "mstcn"):
+        config = tiny_dctcn_config().override(**{
+            "model.encoder.kind": kind,
+            "model.encoder.tcn_channels": [24, 24],
+            "model.encoder.tcn_kernel": 3,
+            "model.encoder.tcn_kernel_sizes": [3, 5],
+        })
+        model = build_model(config)
+        batch = {k: jnp.asarray(v) for k, v in _batch(config).items()}
+        state = create_train_state(config, model, batch)
+        step = build_train_step(mesh=None)
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"])), kind
+        assert "encoder" in state.params, kind
+        # multibranch has per-branch parameter trees
+        if kind == "mstcn":
+            assert any("branch" in k for k in state.params["encoder"]["block_0"])
