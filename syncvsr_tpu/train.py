@@ -118,6 +118,8 @@ def train(config: Config) -> Dict[str, float]:
     meter = AverageMeter()
     monitor = monitored_metric(config)
     best = -np.inf
+    # serialization + disk IO overlap training; only the host copy is sync
+    saver = ckpt.AsyncCheckpointer()
     step = start_step
     t_start = time.time()
     timer = StepTimer()
@@ -164,13 +166,13 @@ def train(config: Config) -> Dict[str, float]:
                         f"{k.split('/')[-1]}={v:.4f}" for k, v in val.items()))
                     if val.get(f"val/{monitor}", -np.inf) > best:
                         best = val[f"val/{monitor}"]
-                        ckpt.save_msgpack(
+                        saver.save_msgpack(
                             os.path.join(config.train.ckpt_dir, "best.msgpack"),
                             {"params": jax.device_get(state.params),
                              "batch_stats": jax.device_get(state.batch_stats or {}),
                              "step": step, monitor: best})
             if step % config.train.ckpt_every == 0 and jax.process_index() == 0:
-                ckpt.save_train_state(config.train.ckpt_dir, state, step)
+                saver.save(config.train.ckpt_dir, state, step)
             if config.optim.total_steps and step >= config.optim.total_steps:
                 break
         else:
@@ -180,7 +182,8 @@ def train(config: Config) -> Dict[str, float]:
     final = run_eval()
     logger.log(final, step)
     if jax.process_index() == 0:
-        ckpt.save_train_state(config.train.ckpt_dir, state, step)
+        saver.save(config.train.ckpt_dir, state, step)
+    saver.wait()
     logger.close()
     return final
 

@@ -34,9 +34,14 @@ def unflatten(d: Dict[str, Any]) -> Any:
 # ---------------------------------------------------------------------------
 
 def save_msgpack(path: str, tree: Any) -> None:
+    """Atomic write: serialize to <path>.tmp then rename, so a crash mid-write
+    never leaves a corrupt file where ``resume=auto`` will look."""
     tree = jax.device_get(tree)
-    with open(path, "wb") as f:
-        f.write(flax.serialization.msgpack_serialize(flax.core.unfreeze(tree)))
+    blob = flax.serialization.msgpack_serialize(flax.core.unfreeze(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
 
 
 def load_msgpack(path: str) -> Any:
@@ -48,10 +53,11 @@ def load_msgpack(path: str) -> Any:
 # full train-state checkpoints
 # ---------------------------------------------------------------------------
 
-def save_train_state(ckpt_dir: str, state, step: int, keep: int = 5) -> str:
-    """Writes <ckpt_dir>/step_<N>.msgpack with params/opt/batch_stats/rngs."""
-    os.makedirs(ckpt_dir, exist_ok=True)
-    payload = {
+def _state_payload(state) -> Dict[str, Any]:
+    """Host copy of the full TrainState. The device_get is synchronous by
+    design: under ``donate=True`` the next train step invalidates these
+    device buffers, so they must be off-device before training continues."""
+    return {
         "step": np.asarray(state.step),
         "params": jax.device_get(state.params),
         "opt_state": jax.device_get(
@@ -60,10 +66,56 @@ def save_train_state(ckpt_dir: str, state, step: int, keep: int = 5) -> str:
         "mixup_rng": jax.device_get(state.mixup_rng),
         "dropout_rng": jax.device_get(state.dropout_rng),
     }
+
+
+def save_train_state(ckpt_dir: str, state, step: int, keep: int = 5) -> str:
+    """Writes <ckpt_dir>/step_<N>.msgpack with params/opt/batch_stats/rngs."""
+    os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}.msgpack")
-    save_msgpack(path, payload)
+    save_msgpack(path, _state_payload(state))
     _prune(ckpt_dir, keep)
     return path
+
+
+class AsyncCheckpointer:
+    """Overlaps checkpoint serialization + disk IO with training.
+
+    ``save`` copies the state to host synchronously (donation safety, see
+    ``_state_payload``) then hands msgpack-encode + atomic write + prune to a
+    single worker thread — the train loop only ever blocks on the transfer.
+    A pending save is awaited before the next one starts (one in flight).
+    Call ``wait()`` before reading the file or exiting.
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._future = None
+
+    def save(self, ckpt_dir: str, state, step: int, keep: int = 5) -> str:
+        self.wait()
+        os.makedirs(ckpt_dir, exist_ok=True)
+        payload = _state_payload(state)
+        path = os.path.join(ckpt_dir, f"step_{step}.msgpack")
+
+        def write():
+            save_msgpack(path, payload)
+            _prune(ckpt_dir, keep)
+
+        self._future = self._pool.submit(write)
+        return path
+
+    def save_msgpack(self, path: str, tree: Any) -> None:
+        """Async variant of module-level ``save_msgpack`` (best-ckpt files)."""
+        self.wait()
+        host = jax.device_get(tree)
+        self._future = self._pool.submit(save_msgpack, path, host)
+
+    def wait(self) -> None:
+        if self._future is not None:
+            self._future.result()
+            self._future = None
 
 
 def restore_train_state(path: str, state):
