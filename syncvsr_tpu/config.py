@@ -140,6 +140,9 @@ class DataConfig:
     # released audio-token pkls root, mapped by path convention
     # (reference LRW/video/src/data.py:49-55); "" -> tokens embedded in video pkls
     audio_root: str = ""
+    # root holds <split>.{bin,npz} packed by tools/pack_dataset.py instead of
+    # a per-clip pkl tree (mmap blob: no unpickle on the loader hot path)
+    packed: bool = False
     # path to a video_length.npy-style histogram for long-clip windowing
     # (reference LRS/video/datamodule/av_dataset.py:43-52)
     length_distribution: str = ""

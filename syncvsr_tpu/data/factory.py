@@ -77,18 +77,26 @@ def _num_threads(config: Config) -> int:
 
 
 def _lrw_video_loaders(config: Config, eval_split: str = "val"):
-    root, labels, durations = _lrw_common(config)
     codec = config.model.codec
     rows = config.data.num_frames * codec.audio_alignment + 4
     collate = pad_word_collate(config.data.num_frames, rows, codec.vq_groups)
     dense_tcn = config.model.encoder.kind == "dense_tcn"
+    if not config.data.packed:
+        root, labels, durations = _lrw_common(config)
 
     def make(split, shuffle, bs, train):
-        files = glob_lrw_files(root, split)
-        ds = LRWVideoDataset(files, labels, codec=codec.name,
-                             audio_root=config.data.audio_root or None,
-                             durations_df=durations,
-                             num_frames=config.data.num_frames)
+        if config.data.packed:
+            from syncvsr_tpu.data.packed import PackedLRWDataset
+
+            ds = PackedLRWDataset(
+                config.data.root, split,
+                use_word_boundary=config.model.use_word_boundary)
+        else:
+            files = glob_lrw_files(root, split)
+            ds = LRWVideoDataset(files, labels, codec=codec.name,
+                                 audio_root=config.data.audio_root or None,
+                                 durations_df=durations,
+                                 num_frames=config.data.num_frames)
         if dense_tcn:
             ds = DCTCNDataset(ds, codec.audio_alignment, train=train,
                               seed=config.train.seed)

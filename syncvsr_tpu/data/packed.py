@@ -1,0 +1,136 @@
+"""Packed LRW dataset: one mmap'd blob + numpy index per split.
+
+The reference stores one torch-pickled file per clip
+(LRW/video/src/preprocess_pkl.py:209-225); at training feed rates that costs
+a python unpickle + many small reads per sample. Packing a split into
+
+    <out>/<split>.bin   — every JPEG frame back to back (raw bytes)
+    <out>/<split>.npz   — per-frame byte offsets, per-clip frame ranges,
+                          audio tokens, labels, word boundaries, label names
+
+turns a sample fetch into two numpy slices + the native batch JPEG decode:
+no pickle, no per-clip file opens, page-cache friendly. Produced by
+``tools/pack_dataset.py`` from an existing pkl tree; consumed when
+``data.packed=true`` (factory builds ``PackedLRWDataset``). Sample dicts are
+byte-identical to ``LRWVideoDataset``'s, so the DC-TCN wrapper, collates and
+augmentation pipeline are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from syncvsr_tpu.data.lrw import (
+    _torch_load,
+    decode_clip,
+    discover_labels,
+    glob_lrw_files,
+)
+
+
+def pack_lrw_split(root: str, split: str, out_dir: str, codec: str = "vq",
+                   audio_root: Optional[str] = None,
+                   durations_df=None) -> str:
+    """Pack <root>/<WORD>/<split>/*.pkl into <out_dir>/<split>.{bin,npz}."""
+    labels = discover_labels(root)
+    files = glob_lrw_files(root, split)
+    if not files:
+        raise ValueError(f"no pkls under {root}/*/{split}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    frame_sizes: List[int] = []
+    clip_ofs = [0]          # clip i -> frames [clip_ofs[i], clip_ofs[i+1])
+    tok_ofs = [0]
+    tok_chunks: List[np.ndarray] = []
+    label_ids: List[int] = []
+    boundaries: List[int] = []
+    names: List[str] = []
+
+    bin_path = os.path.join(out_dir, f"{split}.bin")
+    with open(bin_path, "wb") as out:
+        for path in files:
+            data = _torch_load(path)
+            jpegs = data["video"]
+            for b in jpegs:
+                out.write(b)
+                frame_sizes.append(len(b))
+            clip_ofs.append(len(frame_sizes))
+
+            if audio_root is not None:
+                rel_root = os.path.dirname(
+                    os.path.dirname(os.path.dirname(path)))
+                tokens = np.asarray(_torch_load(
+                    path.replace(rel_root, audio_root))[f"{codec}_tokens"])
+            else:
+                tokens = np.asarray(data[f"{codec}_tokens"])
+            tokens = np.squeeze(tokens)
+            if tokens.ndim == 1:
+                tokens = tokens[:, None]
+            tok_chunks.append(tokens.astype(np.int32))
+            tok_ofs.append(tok_ofs[-1] + tokens.shape[0])
+
+            label_ids.append(labels.index(path.split(os.sep)[-3]))
+            name = "/".join(path.split(os.sep)[-2:])[:-4]
+            names.append(name)
+            if durations_df is not None:
+                boundaries.append(int(durations_df.loc[name].length))
+            else:
+                boundaries.append(-1)
+
+    np.savez(
+        os.path.join(out_dir, f"{split}.npz"),
+        frame_sizes=np.asarray(frame_sizes, np.int64),
+        clip_ofs=np.asarray(clip_ofs, np.int64),
+        tokens=np.concatenate(tok_chunks, axis=0),
+        tok_ofs=np.asarray(tok_ofs, np.int64),
+        labels=np.asarray(label_ids, np.int32),
+        boundaries=np.asarray(boundaries, np.int32),
+        label_names=np.asarray(labels),
+        names=np.asarray(names),
+    )
+    return bin_path
+
+
+class PackedLRWDataset:
+    """Reader over ``pack_lrw_split`` output; same sample contract as
+    ``LRWVideoDataset``."""
+
+    def __init__(self, packed_dir: str, split: str, use_word_boundary: bool = True):
+        idx = np.load(os.path.join(packed_dir, f"{split}.npz"))
+        self.frame_ends = np.cumsum(idx["frame_sizes"])
+        self.frame_starts = self.frame_ends - idx["frame_sizes"]
+        self.clip_ofs = idx["clip_ofs"]
+        self.tokens = idx["tokens"]
+        self.tok_ofs = idx["tok_ofs"]
+        self.labels_arr = idx["labels"]
+        self.boundaries = idx["boundaries"]
+        self.label_names = [str(s) for s in idx["label_names"]]
+        self.use_word_boundary = use_word_boundary
+        self.blob = np.memmap(os.path.join(packed_dir, f"{split}.bin"),
+                              dtype=np.uint8, mode="r")
+
+    def __len__(self) -> int:
+        return len(self.labels_arr)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        f0, f1 = int(self.clip_ofs[index]), int(self.clip_ofs[index + 1])
+        jpegs = [self.blob[self.frame_starts[f]:self.frame_ends[f]].tobytes()
+                 for f in range(f0, f1)]
+        video = decode_clip(jpegs)
+        t = video.shape[0]
+        sample = {
+            "inputs": video,
+            "labels": np.int32(self.labels_arr[index]),
+            "audio_tokens": self.tokens[int(self.tok_ofs[index]):
+                                        int(self.tok_ofs[index + 1])],
+        }
+        boundary = int(self.boundaries[index])
+        if self.use_word_boundary and boundary >= 0:
+            start = (t - boundary) // 2
+            mask = np.zeros(t, np.float32)
+            mask[start:start + boundary] = 1.0
+            sample["word_mask"] = mask
+        return sample

@@ -54,14 +54,15 @@ def make_tree(root: Path, n_clips: int, frames: int = 29,
 
 
 def bench(root: str, threads: int, batch_size: int = 96,
-          max_batches: int = 50) -> dict:
+          max_batches: int = 50, packed: bool = False) -> dict:
     from syncvsr_tpu.config import lrw_video_config
     from syncvsr_tpu.data.factory import build_loaders
     from syncvsr_tpu.data.jpeg import native_available
 
     config = lrw_video_config().override(**{
         "data.root": root, "data.batch_size": batch_size,
-        "data.eval_batch_size": batch_size, "data.num_workers": threads})
+        "data.eval_batch_size": batch_size, "data.num_workers": threads,
+        "data.packed": packed})
     train_loader, _ = build_loaders(config)
     it = iter(train_loader)
     first = next(it)  # warm: builds the native lib, fills prefetch
@@ -73,7 +74,8 @@ def bench(root: str, threads: int, batch_size: int = 96,
             break
     dt = time.perf_counter() - t0
     cps = n / dt if n else 0.0
-    return {"threads": threads, "clips_per_sec": round(cps, 1),
+    return {"threads": threads, "packed": packed,
+            "clips_per_sec": round(cps, 1),
             "frames_per_sec": round(cps * 29, 1),
             "native_decoder": native_available(),
             "batch_shape": list(first["inputs"].shape)}
@@ -84,12 +86,21 @@ def main():
     threads = ([int(t) for t in sys.argv[2].split(",")]
                if len(sys.argv) > 2 else [1, 4, 8])
     tmp = Path(tempfile.mkdtemp(prefix="bench_loader_"))
+    packed_dir = Path(tempfile.mkdtemp(prefix="bench_loader_packed_"))
     try:
         t0 = time.perf_counter()
         make_tree(tmp, n_clips)
         gen_s = time.perf_counter() - t0
+        from syncvsr_tpu.data.lrw import load_durations
+        from syncvsr_tpu.data.packed import pack_lrw_split
+
+        pack_lrw_split(str(tmp), "train", str(packed_dir),
+                       durations_df=load_durations(str(tmp / "durations.csv")))
         results = [bench(str(tmp), t, max_batches=max(2, n_clips // 96))
                    for t in threads]
+        results += [bench(str(packed_dir), t, packed=True,
+                          max_batches=max(2, n_clips // 96))
+                    for t in threads]
         step_clips = 96 * 8.6  # chip consumption at the round-1 step rate
         print(json.dumps({
             "n_clips": n_clips, "tree_gen_s": round(gen_s, 1),
@@ -101,6 +112,7 @@ def main():
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(packed_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

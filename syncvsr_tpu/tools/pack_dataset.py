@@ -1,0 +1,49 @@
+"""Pack an LRW pkl tree into the mmap blob + index format (data/packed.py).
+
+    python -m syncvsr_tpu.tools.pack_dataset /data/LRW /data/LRW_packed \\
+        --splits train val test --codec vq [--audio-root /data/tokens]
+
+Training then uses ``data.packed=true data.root=/data/LRW_packed``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from syncvsr_tpu.data.lrw import load_durations
+from syncvsr_tpu.data.packed import pack_lrw_split
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("root", help="LRW pkl tree (<root>/<WORD>/<split>/*.pkl)")
+    ap.add_argument("out", help="output directory for <split>.{bin,npz}")
+    ap.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    ap.add_argument("--codec", default="vq", choices=["vq", "wav2vec2"])
+    ap.add_argument("--audio-root", default=None,
+                    help="released token-pkl tree (path-mirrors root)")
+    args = ap.parse_args()
+
+    durations = None
+    dur_path = os.path.join(args.root, "durations.csv")
+    if os.path.exists(dur_path):
+        durations = load_durations(dur_path)
+
+    for split in args.splits:
+        t0 = time.time()
+        try:
+            path = pack_lrw_split(args.root, split, args.out, codec=args.codec,
+                                  audio_root=args.audio_root,
+                                  durations_df=durations)
+        except ValueError as e:
+            print(f"[pack] {split}: skipped ({e})")
+            continue
+        size = os.path.getsize(path) / 2 ** 20
+        print(f"[pack] {split}: {size:.1f} MiB in {time.time() - t0:.1f}s "
+              f"-> {path}")
+
+
+if __name__ == "__main__":
+    main()
