@@ -59,6 +59,11 @@ class FrontendConfig:
     # stem activation: GELU in the LRW stem (lightning.py:52), swish in the
     # LRS espnet frontend (conv3d_extractor.py:36)
     stem_act: str = "gelu"
+    # fold [B,T,...] -> [B*T,...] after the stem for clips >= this many
+    # frames (see frontend.py). Identical numerics either way; purely an
+    # XLA-layout/memory lever — small-batch long-clip workloads benefit from
+    # folding earlier, the LRW big-batch short-clip step from not folding.
+    fold_threshold: int = 256
 
 
 @dataclass

@@ -118,7 +118,9 @@ def build_frontend(cfg, dtype, embed_dim: int = 0, name: str = "frontend") -> nn
         return Conv3DResNetFrontend(stem_channels=cfg.stem_channels,
                                     width=cfg.resnet_width,
                                     relu_type=cfg.relu_type,
-                                    stem_act=cfg.stem_act, dtype=dtype, name=name)
+                                    stem_act=cfg.stem_act,
+                                    fold_threshold=cfg.fold_threshold,
+                                    dtype=dtype, name=name)
     if cfg.kind == "conv1d_resnet":
         return Conv1DResNetFrontend(width=cfg.resnet_width, relu_type=cfg.relu_type,
                                     dtype=dtype, name=name)
