@@ -63,6 +63,7 @@ def beam_search(
     max_len: Optional[int] = None,
     lm_step: Optional[Callable] = None,
     lm_init: Optional[Callable] = None,
+    early_exit: bool = True,
 ) -> Tuple[Array, Array, Array]:
     """Returns (best_seq [L] without sos/eos padding -1, best_len, best_score)."""
     w = config.beam_size
@@ -154,7 +155,28 @@ def beam_search(
                          lm_state=new_lm_state, fin_seq=fin_seq,
                          fin_score=fin_score, fin_len=fin_len)
 
-    final = jax.lax.fori_loop(0, max_len, step, init)
+    # Early termination (the role of espnet's end_detect, e2e_asr_common.py:19,
+    # under static shapes): every score increment is <= 0 when penalty <= 0
+    # and lm_weight >= 0 — decoder/LM emissions are log-probs and the CTC
+    # prefix probability is monotone non-increasing under extension — so once
+    # the best alive score cannot beat the best finished score, the returned
+    # argmax can never change. Real transcripts are tens of tokens vs
+    # max_len ~ T frames, so this usually cuts the sequential decode loop by
+    # an order of magnitude. Positive length bonus breaks monotonicity; fall
+    # back to the full loop there.
+    if early_exit and config.penalty <= 0.0 and config.lm_weight >= 0.0:
+        def cond(carry):
+            i, state = carry
+            return (i < max_len) & (jnp.max(state.alive_score)
+                                    > jnp.max(state.fin_score))
+
+        def body(carry):
+            i, state = carry
+            return i + 1, step(i, state)
+
+        _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    else:
+        final = jax.lax.fori_loop(0, max_len, step, init)
     best = jnp.argmax(final.fin_score)
     best_len = final.fin_len[best]
     seq = final.fin_seq[best]

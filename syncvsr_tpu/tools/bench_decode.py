@@ -7,6 +7,12 @@ Answers the two open feasibility questions (VERDICT r1 item 7):
       compile and execute it (reference trains max_frames=1800,
       LRS/video/config/lrs3.yaml:8).
 
+Note on (a): random-weight models never emit eos (the CTC prefix score
+penalizes it), so the beam loop runs all max_len steps — the WORST case.
+With a trained model the while_loop early exit (beam_search.py) stops the
+sequential loop shortly after the transcript ends (~19x faster on a toy
+whose transcript is 18 of 400 steps).
+
 Usage: python -m syncvsr_tpu.tools.bench_decode [beam|train1800|greedy] ...
 """
 

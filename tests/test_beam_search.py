@@ -230,3 +230,34 @@ def test_batched_beam_matches_single():
         got_s = [int(x) for x in np.asarray(toks)[: int(n)]]
         assert got_b == got_s, f"utt {i}: batched {got_b} != single {got_s}"
         np.testing.assert_allclose(float(bscores[i]), float(score), rtol=1e-4)
+
+
+def test_early_exit_matches_full_loop():
+    """The while_loop early termination returns exactly the full fori_loop
+    run's best hypothesis, length and score (monotone-score argument in
+    beam_search.py)."""
+    rng = np.random.RandomState(11)
+    vocab, t_max = 6, 12
+    ctc_logp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.randn(t_max, vocab).astype(np.float32) * 2), axis=-1))
+    table = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.randn(vocab, vocab).astype(np.float32) * 3), axis=-1))
+
+    def decoder_step(last, pos, cache, mem, mem_mask):
+        return jnp.asarray(table)[last], cache
+
+    def init_cache(w, l):
+        return {"dummy": jnp.zeros((w, 1))}
+
+    def run(early):
+        return jax.jit(lambda m: beam_search(
+            decoder_step, init_cache, m, jnp.asarray(t_max),
+            jnp.asarray(ctc_logp), vocab,
+            BeamSearchConfig(beam_size=8, ctc_weight=0.3),
+            max_len=t_max, early_exit=early))(jnp.zeros((t_max, 4)))
+
+    toks_e, len_e, score_e = run(True)
+    toks_f, len_f, score_f = run(False)
+    assert int(len_e) == int(len_f)
+    np.testing.assert_array_equal(np.asarray(toks_e), np.asarray(toks_f))
+    np.testing.assert_allclose(float(score_e), float(score_f), rtol=1e-6)
