@@ -179,3 +179,44 @@ def test_train_driver_lrw_video_data(tmp_path, mesh8):
     final = train(config)
     assert np.isfinite(final["val/loss"])
     assert "val/acc1" in final
+
+
+def test_train_driver_lrw1000_wav2vec2(tmp_path, mesh8):
+    """LRW-1000 recipe through the real data path: variable-length clips
+    padded to 40 frames, wav2vec2 codec (alignment 2), no word boundary
+    (reference data.py:64-66, e2e_asr_transformer.py:145-147)."""
+    import cv2
+    import torch
+
+    root = tmp_path / "LRW1000"
+    rng = np.random.RandomState(1)
+    for word in ["W0", "W1", "W2"]:
+        for split in ("train", "val"):
+            d = root / word / split
+            d.mkdir(parents=True)
+            for i in range(4):
+                t = int(rng.randint(20, 41))  # variable clip lengths
+                jpgs = [cv2.imencode(
+                    ".jpg", rng.randint(0, 256, (24, 28), np.uint8))[1].tobytes()
+                    for _ in range(t)]
+                torch.save({"video": jpgs,
+                            "wav2vec2_tokens": torch.tensor(
+                                rng.randint(0, 19, (1, t * 2 + 2, 2)))},
+                           d / f"{word}_{i:05d}.pkl")
+
+    from syncvsr_tpu.config import lrw1000_config
+    from syncvsr_tpu.train import train
+
+    config = lrw1000_config().override(**{
+        "model.encoder.layers": 1, "model.encoder.dim": 32,
+        "model.encoder.heads": 2, "model.labels": 3,
+        "model.codec.audio_vocab_size": 19, "model.dtype": "float32",
+        "data.root": str(root), "data.batch_size": 8,
+        "data.eval_batch_size": 8, "data.crop_size": 16,
+        "optim.total_steps": 0, "train.epochs": 1, "train.log_every": 1,
+        "train.eval_every": 2, "train.ckpt_every": 2,
+        "train.ckpt_dir": str(tmp_path / "ckpt")})
+    assert config.model.codec.audio_alignment == 2
+    assert not config.model.use_word_boundary
+    final = train(config)
+    assert np.isfinite(final["val/loss"])
