@@ -80,7 +80,9 @@ def _lrw_video_loaders(config: Config, eval_split: str = "val"):
     codec = config.model.codec
     rows = config.data.num_frames * codec.audio_alignment + 4
     collate = pad_word_collate(config.data.num_frames, rows, codec.vq_groups)
-    dense_tcn = config.model.encoder.kind == "dense_tcn"
+    # every TCN-family encoder uses the DC-TCN task path (word.py), so all
+    # get its data contract: attention_mask + mask/trim train augmentations
+    dense_tcn = config.model.encoder.kind in ("dense_tcn", "tcn", "mstcn")
     if not config.data.packed:
         root, labels, durations = _lrw_common(config)
 
@@ -139,8 +141,12 @@ class LRSBucketLoader:
             ld_path = config.data.length_distribution
             if not os.path.isabs(ld_path):
                 ld_path = os.path.join(config.data.root, ld_path)
-            if os.path.exists(ld_path):
-                length_dist = np.load(ld_path)
+            if not os.path.exists(ld_path):
+                raise FileNotFoundError(
+                    f"data.length_distribution={config.data.length_distribution}"
+                    f" not found at {ld_path} — the empirical windowing "
+                    "histogram (video_length.npy) is required when configured")
+            length_dist = np.load(ld_path)
         max_frames = (config.data.max_frames if shuffle
                       else config.data.max_frames_val)
         self.ds = LRSDataset(files, self.tt, codec=config.model.codec.name,

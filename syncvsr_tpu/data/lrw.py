@@ -62,6 +62,23 @@ def discover_labels(root: str) -> List[str]:
                   if os.path.isdir(os.path.join(root, d)))
 
 
+def load_clip_tokens(data: Dict, path: str, audio_root: Optional[str],
+                     codec: str) -> np.ndarray:
+    """Audio tokens for a clip: either embedded in its pkl or from a released
+    token pkl that path-mirrors the video tree (reference data.py:49-55).
+    Normalized to [rows, groups] int-like."""
+    if audio_root is not None:
+        rel_root = os.path.dirname(os.path.dirname(os.path.dirname(path)))
+        tokens = np.asarray(
+            _torch_load(path.replace(rel_root, audio_root))[f"{codec}_tokens"])
+    else:
+        tokens = np.asarray(data[f"{codec}_tokens"])
+    tokens = np.squeeze(tokens)
+    if tokens.ndim == 1:
+        tokens = tokens[:, None]
+    return tokens
+
+
 @dataclass
 class LRWVideoDataset:
     """Index-based reader returning numpy sample dicts."""
@@ -83,16 +100,7 @@ class LRWVideoDataset:
 
         video = decode_clip(data["video"])  # [T, H, W, 1]
         t = video.shape[0]
-
-        if self.audio_root is not None:
-            rel_root = os.path.dirname(os.path.dirname(os.path.dirname(path)))
-            token_path = path.replace(rel_root, self.audio_root)
-            tokens = np.asarray(_torch_load(token_path)[f"{self.codec}_tokens"])
-        else:
-            tokens = np.asarray(data[f"{self.codec}_tokens"])
-        tokens = np.squeeze(tokens)
-        if tokens.ndim == 1:
-            tokens = tokens[:, None]
+        tokens = load_clip_tokens(data, path, self.audio_root, self.codec)
 
         sample = {
             "inputs": video.astype(np.uint8),

@@ -28,6 +28,7 @@ from syncvsr_tpu.data.lrw import (
     decode_clip,
     discover_labels,
     glob_lrw_files,
+    load_clip_tokens,
 )
 
 
@@ -36,6 +37,7 @@ def pack_lrw_split(root: str, split: str, out_dir: str, codec: str = "vq",
                    durations_df=None) -> str:
     """Pack <root>/<WORD>/<split>/*.pkl into <out_dir>/<split>.{bin,npz}."""
     labels = discover_labels(root)
+    label_id = {w: i for i, w in enumerate(labels)}
     files = glob_lrw_files(root, split)
     if not files:
         raise ValueError(f"no pkls under {root}/*/{split}")
@@ -59,20 +61,11 @@ def pack_lrw_split(root: str, split: str, out_dir: str, codec: str = "vq",
                 frame_sizes.append(len(b))
             clip_ofs.append(len(frame_sizes))
 
-            if audio_root is not None:
-                rel_root = os.path.dirname(
-                    os.path.dirname(os.path.dirname(path)))
-                tokens = np.asarray(_torch_load(
-                    path.replace(rel_root, audio_root))[f"{codec}_tokens"])
-            else:
-                tokens = np.asarray(data[f"{codec}_tokens"])
-            tokens = np.squeeze(tokens)
-            if tokens.ndim == 1:
-                tokens = tokens[:, None]
+            tokens = load_clip_tokens(data, path, audio_root, codec)
             tok_chunks.append(tokens.astype(np.int32))
             tok_ofs.append(tok_ofs[-1] + tokens.shape[0])
 
-            label_ids.append(labels.index(path.split(os.sep)[-3]))
+            label_ids.append(label_id[path.split(os.sep)[-3]])
             name = "/".join(path.split(os.sep)[-2:])[:-4]
             names.append(name)
             if durations_df is not None:

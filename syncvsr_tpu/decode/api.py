@@ -66,15 +66,18 @@ def make_beam_decoder(model, variables: Dict[str, Any],
 
 def make_batched_beam_decoder(model, variables: Dict[str, Any],
                               config: BeamSearchConfig,
-                              max_len: int):
+                              max_len: int,
+                              lm=None,
+                              lm_variables: Optional[Dict[str, Any]] = None):
     """vmap the compiled beam search over a batch of utterances — every shape
     inside the search is static, so the whole batch decodes in one XLA program
     (the reference decodes one utterance at a time, data_module.py:104).
-    ``max_len`` must be fixed (the padded/bucketed frame count)."""
+    ``max_len`` must be fixed (the padded/bucketed frame count). LM shallow
+    fusion mirrors ``make_beam_decoder``."""
     vocab = model.cfg.labels
 
     @jax.jit
-    def decode_impl(variables, videos: Array, lengths: Array):
+    def decode_impl(variables, lm_variables, videos: Array, lengths: Array):
         def decoder_step(y_prev, pos, cache, memory, memory_mask):
             return model.apply(variables, y_prev, pos, cache, memory,
                                memory_mask, method="decoder_step")
@@ -82,9 +85,19 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
         def init_cache(w, l):
             return model.apply(variables, w, l, method="decoder_init_cache")
 
+        lm_step = lm_init = None
+        if lm is not None and config.lm_weight != 0.0:
+            def lm_step(y_prev, pos, state):
+                return lm.apply(lm_variables, y_prev, pos, state,
+                                method="step")
+
+            def lm_init(w):
+                return lm.apply(lm_variables, w, method="init_cache")
+
         def one(enc, length, ctc_logp):
             return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
-                               vocab, config, max_len=max_len)
+                               vocab, config, max_len=max_len,
+                               lm_step=lm_step, lm_init=lm_init)
 
         enc = model.apply(variables, videos, lengths, det=True, method="encode")
         flens = model.apply(variables, videos, lengths, method="frame_lengths")
@@ -92,7 +105,7 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
         return jax.vmap(one)(enc, flens, ctc_logp)
 
     def decode(videos: Array, lengths: Array):
-        return decode_impl(variables, videos, lengths)
+        return decode_impl(variables, lm_variables, videos, lengths)
 
     return decode
 

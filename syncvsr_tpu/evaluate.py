@@ -131,14 +131,16 @@ def main():
         # one XLA program decodes a whole padded bucket (vmap'd beam search);
         # one compile per distinct bucket length
         bs_config = BeamSearchConfig(beam_size=beam_size,
-                                     ctc_weight=config.model.mtlalpha)
+                                     ctc_weight=config.model.mtlalpha,
+                                     lm_weight=lm_weight)
         decoders = {}
         for batch in eval_loader:
             batch = eval_transform(batch)
             t = batch["videos"].shape[1]
             if t not in decoders:
                 decoders[t] = make_batched_beam_decoder(
-                    model, variables, bs_config, max_len=t)
+                    model, variables, bs_config, max_len=t,
+                    lm=lm, lm_variables=lm_variables)
             toks, ns, scores = decoders[t](jnp.asarray(batch["videos"]),
                                            jnp.asarray(batch["lengths"]))
             for i in range(batch["videos"].shape[0]):

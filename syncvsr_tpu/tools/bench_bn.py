@@ -75,20 +75,21 @@ def bench_micro():
 
 
 def bench_step(fast: bool):
-    """Full LRW train step; `fast` swaps every nn.BatchNorm for FastBatchNorm."""
+    """Full LRW train step. ``fast`` (the default since commit 80db879) uses
+    the trunk's FastBatchNorm; ``not fast`` swaps the trunk back to autodiff
+    nn.BatchNorm — the baseline this tool's A/B originally justified the
+    default against."""
     import flax.linen as nn
 
-    if fast:
-        from syncvsr_tpu.ops.pallas_bn import FastBatchNorm
-        from syncvsr_tpu.models import resnet, frontend
+    if not fast:
+        from syncvsr_tpu.models import resnet
 
-        def mk(use_running_average, momentum=0.9, dtype=jnp.float32,
-               param_dtype=jnp.float32, name=None, **kw):
-            return FastBatchNorm(use_running_average=use_running_average,
-                                 momentum=momentum, dtype=dtype, name=name)
+        def flax_bn(train, dtype, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                dtype=dtype, param_dtype=jnp.float32,
+                                name=name)
 
-        resnet.nn.BatchNorm = mk  # type: ignore[attr-defined]
-        frontend.nn.BatchNorm = mk  # type: ignore[attr-defined]
+        resnet._bn = flax_bn  # type: ignore[assignment]
 
     from syncvsr_tpu.config import lrw_video_config
     from syncvsr_tpu.data.synthetic import word_batch

@@ -59,12 +59,14 @@ def to_waveform(obj) -> np.ndarray:
             raise ValueError(f"expected {SAMPLE_RATE} Hz audio, got {sr}")
         obj = obj["array"]
     wav = np.asarray(obj)
-    if wav.ndim == 2:  # [C, S] or [S, C] -> mono
-        wav = wav.mean(axis=0 if wav.shape[0] <= 2 else 1)
+    # int16 scaling BEFORE the stereo downmix (mean() promotes to float64 and
+    # would skip the 1/32768 normalization for stereo int16 input)
     if wav.dtype == np.int16:
         wav = wav.astype(np.float32) / 32768.0
     elif wav.dtype != np.float32:
         wav = wav.astype(np.float32)
+    if wav.ndim == 2:  # [C, S] or [S, C] -> mono
+        wav = wav.mean(axis=0 if wav.shape[0] <= 2 else 1)
     return wav
 
 

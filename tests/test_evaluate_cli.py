@@ -98,3 +98,32 @@ def test_evaluate_sentence_beam_batched(monkeypatch, capsys, tmp_path):
     per_utt = hyps(SENT_ARGS + ["beam_size=4"])
     batched = hyps(SENT_ARGS + ["beam_size=4", 'decode="beam_batched"'])
     assert batched == per_utt
+
+
+def test_beam_batched_lm_fusion_matches_per_utt(monkeypatch, capsys, tmp_path):
+    """LM shallow fusion is honored by decode=beam_batched (same hypotheses
+    as the per-utterance decoder with the same LM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncvsr_tpu.models.lm import TransformerLM
+    from syncvsr_tpu.utils import checkpoint as ckpt
+
+    monkeypatch.chdir(tmp_path)
+    lm = TransformerLM(vocab=13, layers=1, dim=16, heads=2, hidden=32,
+                       embed_dim=8)
+    params = lm.init(jax.random.PRNGKey(3), jnp.zeros((1, 4), jnp.int32))["params"]
+    ckpt.save_msgpack(str(tmp_path / "lm.msgpack"),
+                      {"params": jax.device_get(params)})
+    lm_args = [f'lm_ckpt="{tmp_path / "lm.msgpack"}"', "lm_weight=0.7",
+               "lm_layers=1", "lm_dim=16", "lm_heads=2", "lm_hidden=32",
+               "lm_embed_dim=8", "beam_size=4"]
+
+    def hyps(args):
+        _run_main(monkeypatch, capsys, args)
+        return [json.loads(l)["hyp"] for l in
+                open(tmp_path / "hypotheses.jsonl").read().splitlines()]
+
+    per_utt = hyps(SENT_ARGS + lm_args)
+    batched = hyps(SENT_ARGS + lm_args + ['decode="beam_batched"'])
+    assert batched == per_utt

@@ -137,3 +137,18 @@ def test_to_waveform_variants():
     assert w2.dtype == np.float32 and w2.shape == (4,)
     with pytest.raises(ValueError):
         to_waveform({"array": np.zeros(4), "sample_rate": 8000})
+
+
+def test_to_waveform_stereo_int16_scaling():
+    """int16 scaling must happen before the stereo downmix (the mean()
+    promotes to float64 and would skip the 1/32768 normalization)."""
+    from syncvsr_tpu.tools.tokenize_audio import to_waveform
+
+    mono = (np.sin(np.linspace(0, 100, 1600)) * 20000).astype(np.int16)
+    stereo = np.stack([mono, mono])           # [2, S]
+    out_m = to_waveform(mono)
+    out_s = to_waveform(stereo)
+    np.testing.assert_allclose(out_s, out_m, atol=1e-6)
+    assert np.abs(out_s).max() <= 1.0
+    # [S, 2] orientation too
+    np.testing.assert_allclose(to_waveform(stereo.T), out_m, atol=1e-6)
