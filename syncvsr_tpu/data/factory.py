@@ -10,7 +10,12 @@ import numpy as np
 from syncvsr_tpu.config import Config
 from syncvsr_tpu.data import synthetic
 from syncvsr_tpu.data.loader import DataLoader, pad_word_collate
-from syncvsr_tpu.data.lrs import BucketBatcher, LRSDataset, glob_lrs_files
+from syncvsr_tpu.data.lrs import (
+    BucketBatcher,
+    LRSDataset,
+    bucket_for_length,
+    glob_lrs_files,
+)
 from syncvsr_tpu.data.lrw import (
     DCTCNDataset,
     LRWLandmarkDataset,
@@ -92,7 +97,8 @@ def _lrw_video_loaders(config: Config, eval_split: str = "val"):
 
             ds = PackedLRWDataset(
                 config.data.root, split,
-                use_word_boundary=config.model.use_word_boundary)
+                use_word_boundary=config.model.use_word_boundary,
+                codec=codec.name)
         else:
             files = glob_lrw_files(root, split)
             ds = LRWVideoDataset(files, labels, codec=codec.name,
@@ -102,8 +108,11 @@ def _lrw_video_loaders(config: Config, eval_split: str = "val"):
         if dense_tcn:
             ds = DCTCNDataset(ds, codec.audio_alignment, train=train,
                               seed=config.train.seed)
+        # eval covers every sample: tail batch repeat-padded + sample_weight
+        # (reference trainer.test drops nothing, LRW/video/src/inference.py:42-44)
         return DataLoader(ds, bs, shuffle=shuffle, seed=config.train.seed,
-                          collate=collate, num_threads=_num_threads(config))
+                          collate=collate, num_threads=_num_threads(config),
+                          drop_last=train, pad_last=not train)
 
     return (make("train", True, config.data.batch_size, True),
             make(eval_split, False, config.data.eval_batch_size, False))
@@ -123,18 +132,32 @@ def _lrw_landmark_loaders(config: Config, eval_split: str = "val"):
                                 durations_df=durations,
                                 transform=create_transform(train=train))
         return DataLoader(ds, bs, shuffle=shuffle, seed=config.train.seed,
-                          collate=collate, num_threads=_num_threads(config))
+                          collate=collate, num_threads=_num_threads(config),
+                          drop_last=train, pad_last=not train)
 
     return (make("train", True, config.data.batch_size, True),
             make(eval_split, False, config.data.eval_batch_size, False))
 
 
 class LRSBucketLoader:
+    """Sentence-level loader: deterministic bucket schedule + threaded fetch.
+
+    Multi-host correctness: bucket emission must be in lockstep — at step k
+    every host must hold the same bucket shape, or
+    ``make_array_from_process_local_data`` mis-assembles the global batch
+    (the reference trains LRS multi-node with per-rank samplers,
+    LRS/video/config/lrs3.yaml:93-95). The schedule is therefore computed
+    identically on every host *before* any sample is read, from a per-split
+    length index (sidecar ``<split>.lengths.npy``, built once and cached)
+    plus deterministic per-(epoch, index) windowing; each host then fetches
+    only its strided slice of every scheduled batch.
+    """
+
     def __init__(self, config: Config, split: str, shuffle: bool):
-        from syncvsr_tpu.data.tokenizer import TextTransform
+        from syncvsr_tpu.data.tokenizer import build_text_transform
 
         self.config = config
-        self.tt = TextTransform()
+        self.tt = build_text_transform(config.data.spm_vocab)
         files = glob_lrs_files(config.data.root, config.data.dataset.upper(), split)
         length_dist = None
         if shuffle and config.data.length_distribution:
@@ -153,53 +176,104 @@ class LRSBucketLoader:
                              audio_alignment=config.model.codec.audio_alignment,
                              max_frames=max_frames,
                              length_distribution=length_dist)
+        # ground truth for the schedule: per-clip frame counts (sidecar .npy,
+        # built once by scanning the pkls, cached next to the split)
+        from syncvsr_tpu.data.lrs import load_length_index
+
+        self.lengths = (load_length_index(
+            config.data.root, config.data.dataset.upper(), split, files,
+            num_threads=_num_threads(config)) if files
+            else np.zeros((0,), np.int32))
         self.shuffle = shuffle
         self.split = split
+        self.batch_size = (config.data.batch_size if shuffle
+                           else config.data.eval_batch_size)
         self.epoch = 0
 
     def __len__(self):
-        return max(len(self.ds) // self.config.data.batch_size, 1)
+        return max(len(self.ds) // self.batch_size, 1)
 
-    def __iter__(self):
+    def _schedule(self, batcher: BucketBatcher, pc: int, epoch: int):
+        """Global batch schedule for one epoch — identical on every host.
+        Returns [(bucket, global_rows, global_valid)] where each list has
+        exactly ``bucket_bs * pc`` entries (tails repeat-padded, pads marked
+        invalid)."""
         idx = np.arange(len(self.ds))
         if self.shuffle:
-            rng = np.random.RandomState(self.config.train.seed + self.epoch)
+            rng = np.random.RandomState(self.config.train.seed + epoch)
             rng.shuffle(idx)
-        self.epoch += 1
+        schedule = []
+        pools: dict = {b: [] for b in batcher.buckets}
+        for i in idx:
+            t = int(self.lengths[i])
+            eff = self.ds.plan_window(int(i), t)[1]
+            b = bucket_for_length(eff, batcher.buckets)
+            pools[b].append(int(i))
+            if len(pools[b]) == batcher.bucket_bs[b] * pc:
+                schedule.append((b, pools[b], [1.0] * len(pools[b])))
+                pools[b] = []
+        for b, pool in pools.items():
+            if pool:
+                g = batcher.bucket_bs[b] * pc
+                valid = [1.0] * len(pool) + [0.0] * (g - len(pool))
+                schedule.append((b, pool + [pool[-1]] * (g - len(pool)), valid))
+        return schedule
+
+    def __iter__(self):
         import jax
 
-        idx = idx[jax.process_index()::jax.process_count()]
+        pi, pc = jax.process_index(), jax.process_count()
+        epoch = self.epoch
+        self.epoch += 1
+        # windowing re-randomizes per epoch, identically on every host
+        self.ds.window_seed = (self.config.train.seed + epoch
+                               if self.shuffle else 0)
         codec = self.config.model.codec
+        mbf = self.config.data.max_batch_frames
+        if mbf and pc > 1:
+            # per-process bucket batch size floors at 1, so with N processes
+            # the global batch is at least N clips — the per-chip HBM budget
+            # the knob exists for needs headroom for the largest bucket on
+            # every process
+            need = pc * max(self.config.data.length_buckets)
+            if mbf < need:
+                raise ValueError(
+                    f"data.max_batch_frames={mbf} is a *global* frames budget "
+                    f"with a per-process floor of one clip; with "
+                    f"{pc} processes and a "
+                    f"{max(self.config.data.length_buckets)}-frame bucket it "
+                    f"must be >= {need} (or shrink data.length_buckets)")
         batcher = BucketBatcher(self.config.data.length_buckets,
-                                self.config.data.batch_size // jax.process_count(),
+                                self.batch_size // pc,
                                 self.config.data.max_label_len,
                                 codec.vq_groups, codec.audio_alignment,
-                                max_batch_frames=(
-                                    self.config.data.max_batch_frames
-                                    // jax.process_count()))
+                                max_batch_frames=mbf // pc)
+        schedule = self._schedule(batcher, pc, epoch)
         # pkl read + JPEG decode release the GIL: keep a bounded window of
-        # fetches in flight on a thread pool, collate in submission order
+        # batches in flight on a thread pool, yield in schedule order; this
+        # host fetches only its strided slice of every global batch
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         threads = _num_threads(self.config)
         pool = ThreadPoolExecutor(max_workers=threads)
+
+        def submit(task):
+            b, rows, valid = task
+            return (b, [pool.submit(self.ds.__getitem__, r)
+                        for r in rows[pi::pc]], valid[pi::pc])
+
         try:
-            window = max(2 * threads, 8)
-            pending = deque(pool.submit(self.ds.__getitem__, int(i))
-                            for i in idx[:window])
+            ahead = 4
+            pending = deque(submit(t) for t in schedule[:ahead])
             nxt = len(pending)
             while pending:
-                sample = pending.popleft().result()
-                if nxt < len(idx):
-                    pending.append(
-                        pool.submit(self.ds.__getitem__, int(idx[nxt])))
+                b, futs, valid = pending.popleft()
+                samples = [f.result() for f in futs]
+                if nxt < len(schedule):
+                    pending.append(submit(schedule[nxt]))
                     nxt += 1
-                b = batcher.add(sample)
-                if b is not None:
-                    yield b
-            for b in batcher.flush():
-                yield b
+                yield batcher._collate(samples, b, valid)
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
 

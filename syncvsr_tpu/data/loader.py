@@ -34,13 +34,20 @@ class DataLoader:
                  drop_last: bool = True, prefetch: int = 2,
                  num_threads: int = 4,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 pad_last: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.collate = collate
         self.drop_last = drop_last
+        # Exact eval over every sample with static XLA shapes: the tail batch
+        # is repeat-padded to full size and every batch carries a
+        # ``sample_weight`` row mask (1 real / 0 padding) so metrics can be
+        # weighted by the true count (reference trainer.test scores every
+        # sample: LRW/video/src/inference.py:42-44).
+        self.pad_last = pad_last
         self.prefetch = prefetch
         self.num_threads = num_threads
         self.pi = process_index if process_index is not None else jax.process_index()
@@ -103,7 +110,15 @@ class DataLoader:
                     if next_b < n_batches:
                         pending.append(submit(next_b))
                         next_b += 1
-                    if not _put(self.collate(samples)):
+                    n_valid = len(samples)
+                    if self.pad_last and n_valid < self.local_bs:
+                        samples = samples + [samples[-1]] * (self.local_bs - n_valid)
+                    batch = self.collate(samples)
+                    if self.pad_last:
+                        w = np.zeros((len(samples),), np.float32)
+                        w[:n_valid] = 1.0
+                        batch["sample_weight"] = w
+                    if not _put(batch):
                         return
             except BaseException as e:  # surfaced in the consumer
                 _put(e)

@@ -32,17 +32,36 @@ class LRSDataset:
     max_frames: int = 1800
     # long-clip windowing (pretrain sets)
     length_distribution: Optional[np.ndarray] = None
-    rng: Optional[np.random.RandomState] = None
-
-    def __post_init__(self):
-        self.rng = self.rng or np.random.RandomState(0)
-        # __getitem__ runs on loader threads; RandomState is not thread-safe
-        import threading
-
-        self._rng_lock = threading.Lock()
+    # windowing is a pure function of (window_seed, index): the bucket
+    # scheduler (factory.LRSBucketLoader) and __getitem__ must agree on each
+    # clip's effective length so every host builds the identical batch
+    # schedule. The loader bumps window_seed once per epoch.
+    window_seed: int = 0
 
     def __len__(self) -> int:
         return len(self.filenames)
+
+    def needs_window(self, t: int) -> bool:
+        return t > self.max_frames or (
+            self.length_distribution is not None
+            and t > int(self.length_distribution.max()))
+
+    def plan_window(self, index: int, t: int):
+        """Deterministic (start, length) for clip ``index`` at the current
+        window_seed. Thread-safe (fresh RandomState per call)."""
+        if not self.needs_window(t):
+            return 0, t
+        rng = np.random.RandomState(
+            (self.window_seed * 1_000_003 + index * 7919 + 17) % (2 ** 31 - 1))
+        if self.length_distribution is not None:
+            # sample a window length following the empirical histogram
+            wlen = int(self.length_distribution[
+                rng.randint(len(self.length_distribution))])
+        else:
+            wlen = self.max_frames
+        wlen = min(wlen, self.max_frames, t)
+        start = rng.randint(0, t - wlen + 1)
+        return start, wlen
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         data = _torch_load(self.filenames[index])
@@ -50,18 +69,9 @@ class LRSDataset:
         text = data.get("text") or data.get("label") or ""
         t = len(jpegs)
 
-        start, end = 0, t
-        if t > self.max_frames or (self.length_distribution is not None
-                                   and t > int(self.length_distribution.max())):
-            # sample a window whose length follows the empirical histogram
-            with self._rng_lock:
-                if self.length_distribution is not None:
-                    wlen = int(self.rng.choice(self.length_distribution))
-                else:
-                    wlen = self.max_frames
-                wlen = min(wlen, self.max_frames, t)
-                start = self.rng.randint(0, t - wlen + 1)
-            end = start + wlen
+        start, wlen = self.plan_window(index, t)
+        end = start + wlen
+        if wlen != t:
             text = self._window_text(data, start, end, text)
 
         video = decode_clip(jpegs[start:end])
@@ -100,6 +110,50 @@ class LRSDataset:
 def glob_lrs_files(root: str, dataset: str, split: str) -> List[str]:
     """/data/<dataset>/<split>/*/*.pkl (data_module.py:61-63)."""
     return sorted(glob.glob(os.path.join(root, dataset, split, "*", "*.pkl")))
+
+
+# ---------------------------------------------------------------------------
+# per-split length index — the multi-host bucket scheduler's ground truth
+# ---------------------------------------------------------------------------
+
+def length_index_path(root: str, dataset: str, split: str) -> str:
+    return os.path.join(root, dataset, f"{split}.lengths.npy")
+
+
+def read_clip_length(path: str) -> int:
+    return len(_torch_load(path)["video"])
+
+
+def build_length_index(files: Sequence[str], out_path: Optional[str] = None,
+                       num_threads: int = 16) -> np.ndarray:
+    """Frame count per clip, aligned to the (sorted) file list. Cached as a
+    sidecar .npy so the bucket schedule — which every host must compute
+    identically before reading any sample — never touches the pkls."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        lengths = np.fromiter(pool.map(read_clip_length, files),
+                              np.int32, count=len(files))
+    if out_path:
+        try:
+            tmp = out_path + ".tmp.npy"
+            np.save(tmp, lengths)
+            os.replace(tmp, out_path)
+        except OSError:
+            pass  # read-only dataset dir: keep the in-memory index
+    return lengths
+
+
+def load_length_index(root: str, dataset: str, split: str,
+                      files: Sequence[str],
+                      num_threads: int = 16) -> np.ndarray:
+    """Load the sidecar length index, (re)building it when missing or stale."""
+    path = length_index_path(root, dataset, split)
+    if os.path.exists(path):
+        arr = np.load(path)
+        if len(arr) == len(files):
+            return arr.astype(np.int32)
+    return build_length_index(files, path, num_threads)
 
 
 def bucket_for_length(length: int, buckets: Sequence[int]) -> int:
@@ -145,14 +199,23 @@ class BucketBatcher:
         out = []
         for b, pool in self.pools.items():
             if pool:
+                n_valid = len(pool)
                 while len(pool) < self.bucket_bs[b]:  # repeat-pad the tail batch
                     pool.append(pool[-1])
-                out.append(self._collate(pool, b))
+                valid = [1.0] * n_valid + [0.0] * (len(pool) - n_valid)
+                out.append(self._collate(pool, b, valid))
                 self.pools[b] = []
         return out
 
-    def _collate(self, samples, bucket: int) -> Dict[str, np.ndarray]:
+    def _collate(self, samples, bucket: int,
+                 valid=None) -> Dict[str, np.ndarray]:
         n = len(samples)
+        # 1 real / 0 repeat-padded row; consumers weight metrics and skip
+        # padded rows when recording hypotheses (exact WER regardless of
+        # eval_batch_size — reference scores each utterance exactly once,
+        # LRS/video/lightning.py:114-129)
+        sample_weight = (np.ones((n,), np.float32) if valid is None
+                         else np.asarray(valid, np.float32))
         h, w, c = samples[0]["videos"].shape[1:]
         videos = np.zeros((n, bucket, h, w, c), samples[0]["videos"].dtype)
         labels = np.full((n, self.max_label_len), -1, np.int32)
@@ -168,4 +231,4 @@ class BucketBatcher:
             tokens[i, : tok.shape[0], : tok.shape[1]] = tok
             lengths[i] = t
         return {"videos": videos, "labels": labels, "audio_tokens": tokens,
-                "lengths": lengths}
+                "lengths": lengths, "sample_weight": sample_weight}

@@ -51,10 +51,17 @@ def main():
     ckpt_path = overrides.pop("ckpt", None)
     decode_mode = overrides.pop("decode", "beam")
     beam_size = int(overrides.pop("beam_size", 40))
+    # length bonus (reference beam-search "penalty" weight,
+    # LRS/video/lightning.py:261-266; 0.0 in the published configs)
+    penalty = float(overrides.pop("penalty", 0.0))
     lm_ckpt = overrides.pop("lm_ckpt", None)
     lm_weight = float(overrides.pop("lm_weight", 0.0))
+    # lm_kind=transformer|rnn (espnet TransformerLM / RNNLM scorers,
+    # lm/transformer.py, lm/default.py); lm_ckpt may be our msgpack or an
+    # espnet torch checkpoint (converted on load)
+    lm_kind = str(overrides.pop("lm_kind", "transformer"))
     # LM shape (reference lrs3.yaml language_model: 16L, att 512, 8 heads,
-    # unit 2048, embed 128)
+    # unit 2048, embed 128; for lm_kind=rnn pass lm_layers/lm_dim/lm_embed_dim)
     lm_shape = {k: int(overrides.pop(f"lm_{k}", d)) for k, d in
                 (("layers", 16), ("dim", 512), ("heads", 8),
                  ("hidden", 2048), ("embed_dim", 128))}
@@ -88,14 +95,20 @@ def main():
         meter = AverageMeter()
         for batch in eval_loader:
             batch = eval_transform(batch)
-            meter.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))))
+            # exact accuracy over every test clip: the loader repeat-pads the
+            # tail batch and marks real rows in sample_weight; the model
+            # computes weighted means, the meter weights by real count
+            w = (float(np.sum(batch["sample_weight"]))
+                 if "sample_weight" in batch else 1.0)
+            meter.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))),
+                         weight=w)
         print(json.dumps(meter.summary(f"{split}/")))
         return
 
     # sentence-level: WER
-    from syncvsr_tpu.data.tokenizer import TextTransform
+    from syncvsr_tpu.data.tokenizer import build_text_transform
 
-    tt = TextTransform()
+    tt = build_text_transform(config.data.spm_vocab)
     wer = WordErrorRate()
     hyp_records = []
 
@@ -104,24 +117,51 @@ def main():
         hyp_records.append({"ref": ref, "hyp": hyp,
                             **({"score": score} if score is not None else {})})
 
+    def valid_rows(batch):
+        """Real rows of a bucket batch (sample_weight marks repeat-padding,
+        which may interleave under strided multi-host slices). Scoring only
+        these keeps WER invariant to eval_batch_size (each utterance counted
+        exactly once, reference LRS/video/lightning.py:114-129)."""
+        if "sample_weight" in batch:
+            return [int(i) for i in np.flatnonzero(
+                np.asarray(batch["sample_weight"]) > 0)]
+        return list(range(batch["videos"].shape[0]))
+
     lm = lm_variables = None
     if lm_ckpt and lm_weight != 0.0:
-        from syncvsr_tpu.models.lm import TransformerLM
+        from syncvsr_tpu.models.lm import RNNLM, TransformerLM
 
-        lm = TransformerLM(vocab=config.model.labels, **lm_shape)
-        lm_payload = ckpt.load_msgpack(lm_ckpt)
-        lm_variables = {"params": lm_payload.get("params", lm_payload)}
+        if lm_kind == "rnn":
+            lm = RNNLM(vocab=config.model.labels, layers=lm_shape["layers"],
+                       dim=lm_shape["dim"], embed_dim=lm_shape["embed_dim"])
+        else:
+            lm = TransformerLM(vocab=config.model.labels, **lm_shape)
+        if lm_ckpt.endswith(".msgpack"):
+            lm_payload = ckpt.load_msgpack(lm_ckpt)
+            lm_variables = {"params": lm_payload.get("params", lm_payload)}
+        else:
+            # espnet-trained torch LM: convert layouts + names on load
+            import torch
+
+            from syncvsr_tpu.utils.torch_convert import convert_lm
+
+            sd = torch.load(lm_ckpt, map_location="cpu", weights_only=False)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            lm_variables = {"params": convert_lm(
+                sd, lm_kind, lm_shape["dim"], lm_shape["heads"],
+                lm_shape["layers"])}
 
     if decode_mode == "beam":
         decode = make_beam_decoder(
             model, variables,
             BeamSearchConfig(beam_size=beam_size,
                              ctc_weight=config.model.mtlalpha,
-                             lm_weight=lm_weight),
+                             lm_weight=lm_weight, penalty=penalty),
             lm=lm, lm_variables=lm_variables)
         for batch in eval_loader:
             batch = eval_transform(batch)
-            for i in range(batch["videos"].shape[0]):
+            for i in valid_rows(batch):
                 toks, n, score = decode(jnp.asarray(batch["videos"][i:i + 1]),
                                         jnp.asarray(batch["lengths"][i]))
                 hyp = tt.post_process(np.asarray(toks)[: int(n)])
@@ -132,7 +172,7 @@ def main():
         # one compile per distinct bucket length
         bs_config = BeamSearchConfig(beam_size=beam_size,
                                      ctc_weight=config.model.mtlalpha,
-                                     lm_weight=lm_weight)
+                                     lm_weight=lm_weight, penalty=penalty)
         decoders = {}
         for batch in eval_loader:
             batch = eval_transform(batch)
@@ -143,7 +183,7 @@ def main():
                     lm=lm, lm_variables=lm_variables)
             toks, ns, scores = decoders[t](jnp.asarray(batch["videos"]),
                                            jnp.asarray(batch["lengths"]))
-            for i in range(batch["videos"].shape[0]):
+            for i in valid_rows(batch):
                 hyp = tt.post_process(np.asarray(toks)[i][: int(ns[i])])
                 ref = tt.post_process(np.asarray(batch["labels"][i]))
                 record(ref, hyp, float(scores[i]))
@@ -153,7 +193,7 @@ def main():
             batch = eval_transform(batch)
             toks, lens = decode(jnp.asarray(batch["videos"]),
                                 jnp.asarray(batch["lengths"]))
-            for i in range(batch["videos"].shape[0]):
+            for i in valid_rows(batch):
                 hyp = tt.post_process(np.asarray(toks)[i][: int(lens[i])])
                 ref = tt.post_process(np.asarray(batch["labels"][i]))
                 record(ref, hyp)

@@ -96,7 +96,8 @@ class SentenceVSRModel(nn.Module):
         return self.encoder(feats, pad_mask, det=det)
 
     def __call__(self, videos: Array, lengths: Array, labels: Array,
-                 audio_tokens: Array, det: bool = True) -> Dict[str, Array]:
+                 audio_tokens: Array, sample_weight: Optional[Array] = None,
+                 det: bool = True) -> Dict[str, Array]:
         cfg = self.cfg
         x = self.encode(videos, lengths, det=det)
         t = x.shape[1]  # encoder frames (== samples // 640 for raw audio)
@@ -106,6 +107,9 @@ class SentenceVSRModel(nn.Module):
         # ---- frame-level audio sync loss (padded frames masked out) --------
         audio_tokens = audio_tokens[:, : t * cfg.codec.audio_alignment]
         frame_valid = jnp.repeat(pad_mask, cfg.codec.audio_alignment, axis=1)
+        if sample_weight is not None:
+            # repeat-padded tail rows contribute nothing (tokens -> -1 ignore)
+            frame_valid = frame_valid & (sample_weight[:, None] > 0)
         masked_tokens = jnp.where(frame_valid[:, :, None], audio_tokens, -1)
         loss_audio = self.audio_classifier(
             x.astype(jnp.float32), masked_tokens,
@@ -115,15 +119,18 @@ class SentenceVSRModel(nn.Module):
         label_lengths = (labels != -1).sum(axis=1)
         ctc_logits = self.ctc_head(self.ctc_dropout(x, deterministic=det)
                                    .astype(jnp.float32))
-        loss_ctc = ctc_loss(ctc_logits, lengths, labels, label_lengths, blank_id=0)
+        loss_ctc = ctc_loss(ctc_logits, lengths, labels, label_lengths,
+                            blank_id=0, sample_weight=sample_weight)
 
         # ---- attention decoder ----------------------------------------------
         memory = self.proj_decoder(x) if self.proj_decoder is not None else x
         ys_in, ys_out, ys_lengths = add_sos_eos(labels, self.sos, self.eos, -1)
         dec_logits = self.decoder(ys_in, ys_lengths, memory, pad_mask, det=det)
         loss_att = label_smoothing_kl(dec_logits, ys_out, cfg.labels,
-                                      cfg.lsm_weight, ignore_id=-1)
-        acc = decoder_accuracy(dec_logits, ys_out, ignore_id=-1)
+                                      cfg.lsm_weight, ignore_id=-1,
+                                      sample_weight=sample_weight)
+        acc = decoder_accuracy(dec_logits, ys_out, ignore_id=-1,
+                               sample_weight=sample_weight)
 
         loss = (cfg.mtlalpha * loss_ctc + (1.0 - cfg.mtlalpha) * loss_att
                 + cfg.sync_lambda * loss_audio)

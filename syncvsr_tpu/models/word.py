@@ -29,6 +29,15 @@ from syncvsr_tpu.ops.sync_loss import sync_cross_entropy
 Array = jax.Array
 
 
+def weighted_mean(per_sample: Array, weight: Optional[Array]) -> Array:
+    """Mean over the batch, or a sample-weighted mean when ``weight`` is
+    given (exact eval over repeat-padded tail batches)."""
+    if weight is None:
+        return per_sample.mean()
+    w = weight.astype(jnp.float32)
+    return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
 def smooth_labels(onehot: Array, smoothing: float) -> Array:
     if smoothing == 0.0:
         return onehot
@@ -79,6 +88,7 @@ class WordVSRModel(nn.Module):
     def __call__(self, inputs: Array, labels: Array, audio_tokens: Array,
                  word_mask: Optional[Array] = None,
                  attention_mask: Optional[Array] = None,
+                 sample_weight: Optional[Array] = None,
                  det: bool = True) -> Dict[str, Array]:
         cfg = self.cfg
         enc = cfg.encoder
@@ -101,10 +111,15 @@ class WordVSRModel(nn.Module):
                 f"{codec.audio_alignment}); check the codec config against "
                 f"the token pkls")
         audio_tokens = audio_tokens[:, :need]
+        if sample_weight is not None:
+            # padded rows contribute nothing to the sync loss (-1 = ignore)
+            audio_tokens = jnp.where(sample_weight[:, None, None] > 0,
+                                     audio_tokens, -1)
 
         if enc.kind in ("dense_tcn", "tcn", "mstcn"):
             return self._dense_tcn_path(inputs, onehot, audio_tokens,
-                                        word_mask, attention_mask, det)
+                                        word_mask, attention_mask,
+                                        sample_weight, det)
         if not det:
             onehot = smooth_labels(onehot, cfg.label_smoothing)
             if self.use_cutmix and self.cutmix_alpha > 0:
@@ -146,7 +161,8 @@ class WordVSRModel(nn.Module):
         logits = nn.Dense(cfg.labels, kernel_init=trunc_normal(), dtype=jnp.float32,
                           param_dtype=jnp.float32, name="category_classifier")(
                               encoded[:, 0].astype(jnp.float32))
-        loss_word = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1))
+        loss_word = weighted_mean(
+            -jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1), sample_weight)
 
         sync = SyncHead(codec.audio_alignment, codec.vq_groups,
                         codec.audio_vocab_size, name="audio_classifier")
@@ -154,14 +170,17 @@ class WordVSRModel(nn.Module):
 
         loss = loss_word + cfg.sync_lambda * loss_audio
         hard = jnp.argmax(onehot, axis=-1)
-        acc1 = (jnp.argmax(logits, axis=-1) == hard).mean()
+        acc1 = weighted_mean(
+            (jnp.argmax(logits, axis=-1) == hard).astype(jnp.float32), sample_weight)
         k5 = min(5, logits.shape[-1])
-        acc5 = (jax.lax.top_k(logits, k=k5)[1] == hard[:, None]).any(axis=1).mean()
+        acc5 = weighted_mean(
+            (jax.lax.top_k(logits, k=k5)[1] == hard[:, None]).any(axis=1)
+            .astype(jnp.float32), sample_weight)
         return {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
                 "acc1": acc1, "acc5": acc5}
 
     def _dense_tcn_path(self, inputs, onehot, audio_tokens, word_mask,
-                        attention_mask, det):
+                        attention_mask, sample_weight, det):
         """TCN family (reference DCTCNLightningModule,
         LRW/video/src/lightning.py:226-312, and the Lipreading wrapper's
         tcn_options back ends, tcn/model.py:93-177): batch mixup on raw
@@ -214,7 +233,8 @@ class WordVSRModel(nn.Module):
                           param_dtype=jnp.float32, name="category_classifier")(pooled)
 
         logp = jax.nn.log_softmax(logits)
-        ce = lambda tgt: -jnp.mean(jnp.sum(tgt * logp, axis=-1))
+        ce = lambda tgt: weighted_mean(-jnp.sum(tgt * logp, axis=-1),
+                                       sample_weight)
         sync = SyncHead(codec.audio_alignment, codec.vq_groups,
                         codec.audio_vocab_size, name="audio_classifier")
         f32 = feats.astype(jnp.float32)
@@ -230,8 +250,12 @@ class WordVSRModel(nn.Module):
 
         loss = loss_word + cfg.sync_lambda * loss_audio
         hard = jnp.argmax(onehot, axis=-1)
-        acc1 = (jnp.argmax(logits, axis=-1) == hard).mean()
+        acc1 = weighted_mean(
+            (jnp.argmax(logits, axis=-1) == hard).astype(jnp.float32),
+            sample_weight)
         k5 = min(5, logits.shape[-1])
-        acc5 = (jax.lax.top_k(logits, k=k5)[1] == hard[:, None]).any(axis=1).mean()
+        acc5 = weighted_mean(
+            (jax.lax.top_k(logits, k=k5)[1] == hard[:, None]).any(axis=1)
+            .astype(jnp.float32), sample_weight)
         return {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
                 "acc1": acc1, "acc5": acc5}

@@ -19,11 +19,13 @@ Array = jax.Array
 
 
 def ctc_loss(logits: Array, logit_lengths: Array, labels: Array,
-             label_lengths: Array, blank_id: int = 0) -> Array:
+             label_lengths: Array, blank_id: int = 0,
+             sample_weight: Array = None) -> Array:
     """Batch-averaged CTC negative log-likelihood.
 
     logits: [B, T, V] raw (pre-softmax); labels: [B, N] padded with anything
-    beyond label_lengths (sanitized here).
+    beyond label_lengths (sanitized here). ``sample_weight`` [B] excludes
+    repeat-padded rows from the average (weighted mean over real samples).
     """
     b, t, _ = logits.shape
     n = labels.shape[1]
@@ -32,7 +34,10 @@ def ctc_loss(logits: Array, logit_lengths: Array, labels: Array,
     safe_labels = jnp.where(label_pad > 0, 0, labels)
     per_seq = optax.ctc_loss(logits.astype(jnp.float32), logit_pad,
                              safe_labels, label_pad, blank_id=blank_id)
-    return per_seq.mean()
+    if sample_weight is None:
+        return per_seq.mean()
+    w = sample_weight.astype(jnp.float32)
+    return (per_seq * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def ctc_greedy_decode(logits: Array, logit_lengths: Array,

@@ -43,10 +43,12 @@ def add_sos_eos(labels: Array, sos: int, eos: int,
 
 def label_smoothing_kl(logits: Array, targets: Array, vocab: int,
                        smoothing: float, ignore_id: int = -1,
-                       normalize_length: bool = False) -> Array:
+                       normalize_length: bool = False,
+                       sample_weight: Array = None) -> Array:
     """espnet LabelSmoothingLoss (label_smoothing_loss.py:13-63): KL between
     log-softmax predictions and the smoothed target distribution, summed over
-    tokens, divided by batch size (or token count when normalize_length)."""
+    tokens, divided by batch size (or token count when normalize_length).
+    ``sample_weight`` [B] excludes repeat-padded rows from the average."""
     b = logits.shape[0]
     flat_logits = logits.reshape(-1, vocab).astype(jnp.float32)
     flat_t = targets.reshape(-1)
@@ -65,13 +67,24 @@ def label_smoothing_kl(logits: Array, targets: Array, vocab: int,
           + confidence * logp_conf - low * logp_low
           - (confidence - low) * q_t)
     kl = jnp.where(ignore, 0.0, kl)
+    if sample_weight is not None:
+        w = sample_weight.astype(jnp.float32)
+        per_sample = kl.reshape(b, -1).sum(axis=1)
+        if normalize_length:
+            tokens = (~ignore).reshape(b, -1).sum(axis=1) * w
+            return (per_sample * w).sum() / jnp.maximum(tokens.sum(), 1)
+        return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)
     denom = jnp.maximum((~ignore).sum(), 1) if normalize_length else b
     return kl.sum() / denom
 
 
-def decoder_accuracy(logits: Array, targets: Array, ignore_id: int = -1) -> Array:
-    """th_accuracy (nets_utils.py:303): token accuracy over non-ignored."""
+def decoder_accuracy(logits: Array, targets: Array, ignore_id: int = -1,
+                     sample_weight: Array = None) -> Array:
+    """th_accuracy (nets_utils.py:303): token accuracy over non-ignored.
+    ``sample_weight`` [B] excludes repeat-padded rows."""
     pred = jnp.argmax(logits, axis=-1)
     valid = targets != ignore_id
+    if sample_weight is not None:
+        valid = valid & (sample_weight[:, None] > 0)
     correct = (pred == targets) & valid
     return correct.sum() / jnp.maximum(valid.sum(), 1)

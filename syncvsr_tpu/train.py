@@ -133,7 +133,13 @@ def train(config: Config) -> Dict[str, float]:
         em = AverageMeter()
         for batch in eval_loader:
             batch = eval_transform(batch)
-            em.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))))
+            # metrics are weighted means over real rows (sample_weight marks
+            # repeat-padded tails); weight the meter by the real count so the
+            # epoch averages are exact over every sample
+            w = (float(np.sum(batch["sample_weight"]))
+                 if "sample_weight" in batch else 1.0)
+            em.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))),
+                      weight=w)
         return em.summary("val/")
 
     for epoch in range(config.train.epochs):

@@ -20,14 +20,20 @@ class AverageMeter:
         self.buffer = defaultdict(list)
         self.use_latest = set(use_latest)
 
-    def update(self, metrics: Dict[str, Any]):
+    def update(self, metrics: Dict[str, Any], weight: float = 1.0):
+        """``weight`` makes partial (padded) eval batches exact: pass the
+        real sample count so tail batches don't skew the averages."""
         for k, v in metrics.items():
-            self.buffer[k].append(np.asarray(v))
+            self.buffer[k].append((np.asarray(v), float(weight)))
 
     def summary(self, prefix: str = "") -> Dict[str, float]:
         out = {}
         for k, vs in self.buffer.items():
-            v = vs[-1] if k in self.use_latest else np.mean([np.mean(x) for x in vs])
+            if k in self.use_latest:
+                v = vs[-1][0]
+            else:
+                total_w = sum(w for _, w in vs)
+                v = sum(np.mean(x) * w for x, w in vs) / max(total_w, 1e-12)
             out[f"{prefix}{k}"] = float(v)
         self.buffer.clear()
         return out

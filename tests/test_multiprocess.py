@@ -1,18 +1,19 @@
 """Real multi-process SPMD: 2 jax processes x 4 virtual CPU devices, one
 8-device mesh, per-host input sharding via make_array_from_process_local_data
 (SURVEY §2.4 multi-host input sharding — the branch single-process tests
-can't reach)."""
+can't reach). The sentence test additionally proves the LRS bucket schedule
+is lockstep across hosts (same bucket shape on every host at every step)."""
 
 import os
 import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 
-@pytest.mark.slow
-def test_two_process_train_step(tmp_path):
+def _spawn(extra_args):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -26,7 +27,7 @@ def test_two_process_train_step(tmp_path):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", coord],
+        [sys.executable, worker, str(pid), "2", coord] + extra_args,
         env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for pid in range(2)]
     outs = []
@@ -40,9 +41,58 @@ def test_two_process_train_step(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    outs = _spawn(["word"])
     results = [l for out in outs for l in out.splitlines()
                if l.startswith("MP_RESULT")]
     assert len(results) == 2, outs
     losses = sorted(r.split("loss=")[1] for r in results)
     # both hosts see identical replicated metrics for the SAME global batch
+    assert losses[0] == losses[1], results
+
+
+@pytest.mark.slow
+def test_two_process_sentence_buckets(tmp_path):
+    """LRS bucket batching in lockstep across 2 hosts: both processes build
+    the schedule from the shared length index, emit identical bucket shapes
+    at every step, and see identical replicated losses (reference multi-node
+    LRS training, LRS/video/config/lrs3.yaml:93-95)."""
+    import cv2
+    import torch
+
+    rng = np.random.RandomState(11)
+    d = tmp_path / "data" / "LRS3" / "train" / "spk0"
+    d.mkdir(parents=True)
+    words = ["HELLO", "WORLD", "QUICK", "BROWN", "FOX"]
+    # 10 clips per bucket (16 and 32) -> one full global batch of 8 + a
+    # repeat-padded tail per bucket; clips long enough that CTC stays
+    # feasible (2*label_len+1 <= frames)
+    lengths = [rng.randint(12, 17) for _ in range(10)] + \
+              [rng.randint(20, 33) for _ in range(10)]
+    for i, t in enumerate(lengths):
+        frames = []
+        for _ in range(t):
+            ok, buf = cv2.imencode(
+                ".jpg", rng.randint(0, 256, (16, 16), np.uint8))
+            frames.append(buf.tobytes())
+        torch.save({"video": frames,
+                    "text": str(rng.choice(words)),
+                    "vq_tokens": torch.tensor(
+                        rng.randint(0, 11, (1, t * 4 + 4, 2)))},
+                   d / f"clip{i:02d}.pkl")
+
+    outs = _spawn(["sentence", str(tmp_path / "data")])
+    shapes = sorted(l for out in outs for l in out.splitlines()
+                    if l.startswith("MP_SHAPES"))
+    assert len(shapes) == 2, outs
+    # same bucket shape sequence on both hosts (strip the pid)
+    assert shapes[0].split()[-1] == shapes[1].split()[-1], shapes
+    results = [l for out in outs for l in out.splitlines()
+               if l.startswith("MP_RESULT")]
+    assert len(results) == 2, outs
+    losses = sorted(r.split("losses=")[1] for r in results)
     assert losses[0] == losses[1], results
