@@ -73,6 +73,7 @@ class TransformerLM(nn.Module):
                               param_dtype=jnp.float32)
         self.input_proj = nn.Dense(self.dim, dtype=self.dtype,
                                    param_dtype=jnp.float32)
+        self.input_norm = LayerNorm(dtype=self.dtype)
         self.blocks = [LMBlock(self.dim, self.heads, self.hidden, self.dropout,
                                self.dtype, name=f"block_{i}")
                        for i in range(self.layers)]
@@ -81,7 +82,10 @@ class TransformerLM(nn.Module):
                                param_dtype=jnp.float32)
 
     def _embed(self, ys: Array, offset: int = 0) -> Array:
-        x = self.input_proj(self.embed(ys))
+        # espnet "linear" input layer: Linear -> LayerNorm -> (Dropout) ->
+        # ReLU -> pos_enc (transformer/encoder.py:143-150) — matched exactly
+        # so released espnet LM checkpoints import losslessly
+        x = nn.relu(self.input_norm(self.input_proj(self.embed(ys))))
         if self.pos_enc == "sinusoidal":
             x = x * math.sqrt(self.dim) + sinusoid_pe(
                 ys.shape[1], self.dim, offset, self.dtype)[None]

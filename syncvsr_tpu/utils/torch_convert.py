@@ -358,3 +358,102 @@ def convert_lrs_e2e(sd: Dict[str, Any], adim: int, aheads: int, dlayers: int,
             "kernel": convert_linear(sd[f"{prefix}proj_decoder.weight"]),
             "bias": _np(sd[f"{prefix}proj_decoder.bias"])}
     return p, stats
+
+
+# ---------------------------------------------------------------------------
+# espnet language models (shallow-fusion scorers, lrs3.yaml:64-71)
+# ---------------------------------------------------------------------------
+
+def _strip_lm_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Unwrap common espnet LM checkpoint framings: {"model": sd} payloads and
+    "model."/"module." key prefixes."""
+    if "model" in sd and not hasattr(sd["model"], "detach"):
+        sd = sd["model"]
+    for pre in ("model.", "module."):
+        if any(k.startswith(pre) for k in sd):
+            sd = {k[len(pre):] if k.startswith(pre) else k: v
+                  for k, v in sd.items()}
+    return sd
+
+
+def convert_transformer_lm(sd: Dict[str, Any], dim: int, heads: int,
+                           layers: int) -> Dict:
+    """espnet TransformerLM (lm/transformer.py:18-250: Embedding -> encoder
+    with "linear" input layer -> Linear decoder) -> models.lm.TransformerLM.
+    Oracle-pinned in tests/test_lm_convert.py."""
+    sd = _strip_lm_prefix(sd)
+    p: Dict[str, Any] = {
+        "embed": {"embedding": _np(sd["embed.weight"])},
+        # encoder.embed = Sequential(Linear, LayerNorm, Dropout, ReLU, pos)
+        "input_proj": {"kernel": convert_linear(sd["encoder.embed.0.weight"]),
+                       "bias": _np(sd["encoder.embed.0.bias"])},
+        "input_norm": _ln(sd, "encoder.embed.1"),
+    }
+    for i in range(layers):
+        src = f"encoder.encoders.{i}."
+        p[f"block_{i}"] = {
+            "attn": {"wq": _dgen_in(sd, f"{src}self_attn.linear_q", dim, heads),
+                     "wk": _dgen_in(sd, f"{src}self_attn.linear_k", dim, heads),
+                     "wv": _dgen_in(sd, f"{src}self_attn.linear_v", dim, heads),
+                     "wo": _dgen_out(sd, f"{src}self_attn.linear_out", dim, heads)},
+            "ff": {"w1": {"kernel": convert_linear(sd[f"{src}feed_forward.w_1.weight"]),
+                          "bias": _np(sd[f"{src}feed_forward.w_1.bias"])},
+                   "w2": {"kernel": convert_linear(sd[f"{src}feed_forward.w_2.weight"]),
+                          "bias": _np(sd[f"{src}feed_forward.w_2.bias"])}},
+            "norm1": _ln(sd, f"{src}norm_mha"),
+            "norm2": _ln(sd, f"{src}norm_ff"),
+        }
+    p["norm"] = _ln(sd, "encoder.after_norm")
+    p["output"] = {"kernel": convert_linear(sd["decoder.weight"]),
+                   "bias": _np(sd["decoder.bias"])}
+    return p
+
+
+def _convert_lstm_gates(w_ih, w_hh, b_ih, b_hh) -> Dict:
+    """torch LSTM gate-stacked weights ([4H, in], gate order i,f,g,o) ->
+    flax OptimizedLSTMCell per-gate denses (ii/if/ig/io kernels [in, H]
+    without bias; hi/hf/hg/ho kernels [H, H] with the summed bias)."""
+    h = w_hh.shape[1]
+    out: Dict[str, Any] = {}
+    for g, name in enumerate("ifgo"):
+        rows = slice(g * h, (g + 1) * h)
+        out[f"i{name}"] = {"kernel": _np(w_ih)[rows].T}
+        out[f"h{name}"] = {"kernel": _np(w_hh)[rows].T,
+                           "bias": _np(b_ih)[rows] + _np(b_hh)[rows]}
+    return out
+
+
+def convert_rnn_lm(sd: Dict[str, Any], layers: int) -> Dict:
+    """espnet RNNLM state dicts -> models.lm.RNNLM. Handles both layouts:
+    DefaultRNNLM/ClassifierWithState (predictor.embed / predictor.rnn.{k}
+    nn.LSTMCell list / predictor.lo, lm/default.py:326-428) and
+    SequentialRNNLM (encoder / rnn.weight_ih_l{k} nn.LSTM / decoder,
+    lm/seq_rnn.py:10-178)."""
+    sd = _strip_lm_prefix(sd)
+    if "predictor.embed.weight" in sd:
+        p: Dict[str, Any] = {"embed": {"embedding": _np(sd["predictor.embed.weight"])}}
+        for k in range(layers):
+            src = f"predictor.rnn.{k}."
+            p[f"lstm_{k}"] = _convert_lstm_gates(
+                sd[f"{src}weight_ih"], sd[f"{src}weight_hh"],
+                sd[f"{src}bias_ih"], sd[f"{src}bias_hh"])
+        p["output"] = {"kernel": convert_linear(sd["predictor.lo.weight"]),
+                       "bias": _np(sd["predictor.lo.bias"])}
+        return p
+    p = {"embed": {"embedding": _np(sd["encoder.weight"])}}
+    for k in range(layers):
+        p[f"lstm_{k}"] = _convert_lstm_gates(
+            sd[f"rnn.weight_ih_l{k}"], sd[f"rnn.weight_hh_l{k}"],
+            sd[f"rnn.bias_ih_l{k}"], sd[f"rnn.bias_hh_l{k}"])
+    p["output"] = {"kernel": convert_linear(sd["decoder.weight"]),
+                   "bias": _np(sd["decoder.bias"])}
+    return p
+
+
+def convert_lm(sd: Dict[str, Any], kind: str, dim: int, heads: int,
+               layers: int) -> Dict:
+    """Reference espnet LM checkpoint -> flax LM params (kind:
+    "transformer" | "rnn")."""
+    if kind == "rnn":
+        return convert_rnn_lm(sd, layers)
+    return convert_transformer_lm(sd, dim, heads, layers)
