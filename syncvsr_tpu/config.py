@@ -176,6 +176,10 @@ class DataConfig:
     # batch_size)); 0 disables. Keeps the 1800-frame bucket inside one
     # chip's HBM while short buckets keep the full batch size.
     max_batch_frames: int = 0
+    # custom SentencePiece unigram model for sentence datasets: path to a
+    # .model file with <stem>_units.txt next to it (reference sp_model_path/
+    # dict_path, LRS/video/datamodule/transforms.py:138-151); "" -> bundled
+    # LRS unigram-5000 assets
     spm_vocab: str = ""
 
 

@@ -83,6 +83,12 @@ def pack_lrw_split(root: str, split: str, out_dir: str, codec: str = "vq",
         boundaries=np.asarray(boundaries, np.int32),
         label_names=np.asarray(labels),
         names=np.asarray(names),
+        # provenance: which codec the tokens were packed with (and whether
+        # they came from a released-token tree) — asserted at load time so a
+        # config/codec mismatch fails loudly instead of silently feeding
+        # wrong-vocab tokens
+        codec=np.asarray(codec),
+        audio_root=np.asarray(audio_root or ""),
     )
     return bin_path
 
@@ -91,8 +97,16 @@ class PackedLRWDataset:
     """Reader over ``pack_lrw_split`` output; same sample contract as
     ``LRWVideoDataset``."""
 
-    def __init__(self, packed_dir: str, split: str, use_word_boundary: bool = True):
+    def __init__(self, packed_dir: str, split: str, use_word_boundary: bool = True,
+                 codec: Optional[str] = None):
         idx = np.load(os.path.join(packed_dir, f"{split}.npz"))
+        if codec is not None and "codec" in idx:
+            packed_codec = str(idx["codec"])
+            if packed_codec != codec:
+                raise ValueError(
+                    f"packed split {split!r} holds {packed_codec!r} tokens "
+                    f"but model.codec.name={codec!r}; re-run "
+                    "tools/pack_dataset.py with the matching codec")
         self.frame_ends = np.cumsum(idx["frame_sizes"])
         self.frame_starts = self.frame_ends - idx["frame_sizes"]
         self.clip_ofs = idx["clip_ofs"]

@@ -156,3 +156,21 @@ class TextTransform:
         ids = [int(t) for t in np.asarray(token_ids).reshape(-1) if t != -1]
         text = "".join(self.token_list[i] for i in ids)
         return text.replace("<space>", " ").replace(_SPACE, " ").strip()
+
+
+def build_text_transform(spm_vocab: str = "") -> TextTransform:
+    """TextTransform from ``data.spm_vocab``: path to a SentencePiece unigram
+    ``.model`` whose units table sits next to it as ``<stem>_units.txt``
+    (the reference's sp_model_path/dict_path pair,
+    LRS/video/datamodule/transforms.py:138-151). Empty -> the bundled LRS
+    unigram-5000 assets."""
+    if not spm_vocab:
+        return TextTransform()
+    stem = os.path.splitext(spm_vocab)[0]
+    units = stem + "_units.txt"
+    if not os.path.exists(spm_vocab):
+        raise FileNotFoundError(f"data.spm_vocab model not found: {spm_vocab}")
+    if not os.path.exists(units):
+        raise FileNotFoundError(
+            f"units table expected next to the spm model: {units}")
+    return TextTransform(spm_vocab, units)

@@ -34,13 +34,17 @@ def unflatten(d: Dict[str, Any]) -> Any:
 # ---------------------------------------------------------------------------
 
 def save_msgpack(path: str, tree: Any) -> None:
-    """Atomic write: serialize to <path>.tmp then rename, so a crash mid-write
-    never leaves a corrupt file where ``resume=auto`` will look."""
+    """Atomic write: serialize to <path>.tmp, fsync, then rename, so neither
+    a crash mid-write nor a power loss after the rename leaves a corrupt file
+    where ``resume=auto`` will look (fsync orders the data before the
+    directory entry flip)."""
     tree = jax.device_get(tree)
     blob = flax.serialization.msgpack_serialize(flax.core.unfreeze(tree))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 

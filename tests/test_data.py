@@ -251,3 +251,38 @@ def test_bucket_batcher_frames_budget():
         assert bb.add(sample(600)) is None
     out = bb.add(sample(500))
     assert out is not None and out["videos"].shape == (4, 640, 4, 4, 1)
+
+
+def test_custom_spm_vocab(tmp_path):
+    """data.spm_vocab routes a custom unigram model + units table through the
+    tokenizer (reference sp_model_path/dict_path,
+    LRS/video/datamodule/transforms.py:138-151)."""
+    import struct
+
+    from syncvsr_tpu.data.tokenizer import build_text_transform
+
+    def piece(text, score, ptype):
+        tb = text.encode("utf-8")
+        return (bytes([0x0A, len(tb)]) + tb
+                + bytes([0x15]) + struct.pack("<f", score)
+                + bytes([0x18, ptype]))
+
+    # minimal SentencePiece ModelProto: repeated field 1 of piece messages
+    pieces = [piece("<unk>", 0.0, 2), piece("▁HE", -1.0, 1),
+              piece("LLO", -1.5, 1), piece("▁", -3.0, 1)]
+    blob = b"".join(bytes([0x0A, len(p)]) + p for p in pieces)
+    model = tmp_path / "tiny.model"
+    model.write_bytes(blob)
+    (tmp_path / "tiny_units.txt").write_text(
+        "<unk> 1\n▁HE 2\nLLO 3\n▁ 4\n")
+
+    tt = build_text_transform(str(model))
+    assert tt.vocab_size == 6  # <blank> + 4 units + <eos>
+    np.testing.assert_array_equal(tt.tokenize("HELLO"), [2, 3])
+    assert tt.post_process(np.array([2, 3])) == "HELLO"
+    # unknown char falls back to <unk>
+    np.testing.assert_array_equal(tt.tokenize("Z"), [4, 1])
+    # default (empty) keeps the bundled 5049-unit assets
+    assert build_text_transform("").vocab_size == 5049
+    with pytest.raises(FileNotFoundError):
+        build_text_transform(str(tmp_path / "missing.model"))
