@@ -141,6 +141,16 @@ class ModelConfig:
 class DataConfig:
     dataset: str = "synthetic"      # "lrw" | "lrw_landmark" | "lrs2" | "lrs3" | "vox2" | "synthetic"
     root: str = "/data"
+    # sentence-level input modality (reference datamodule selects per config,
+    # LRS/video/datamodule/data_module.py:79-99): "video" feeds JPEG frames to
+    # the conv3d frontend, "audio" feeds the bundled 16 kHz waveform to the
+    # conv1d frontend
+    modality: str = "video"
+    # babble-noise waveform (.npy) for the audio AddNoise augmentation
+    # (reference transforms.py:67-86); "" disables noise injection
+    noise_path: str = ""
+    # eval-time SNR in dB (reference decode.snr_target); >= 999999 = clean
+    snr_target: float = 999999.0
     split: str = ""                 # eval split; "" -> val in train, test in evaluate
     # released audio-token pkls root, mapped by path convention
     # (reference LRW/video/src/data.py:49-55); "" -> tokens embedded in video pkls
@@ -407,6 +417,7 @@ def lrs3_audio_config() -> Config:
     c = lrs3_config()
     c.name = "lrs3_audio"
     c.model.frontend = FrontendConfig(kind="conv1d_resnet", out_dim=512)
+    c.data.modality = "audio"
     return c
 
 

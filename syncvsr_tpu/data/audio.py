@@ -4,6 +4,8 @@
   LRS/video/preprocess/utils.py:13-21 without the pydub dependency).
 * ``AddNoise``: babble-noise injection at a sampled SNR (reference
   LRS/video/datamodule/transforms.py:67-86) for the audio-backbone configs.
+* ``AudioTransform``: the train/eval waveform pipeline (AddNoise + whole-clip
+  layer norm, reference transforms.py:112-135).
 """
 
 from __future__ import annotations
@@ -52,3 +54,42 @@ class AddNoise:
         p_noise = np.mean(noise ** 2) + 1e-12
         scale = np.sqrt(p_speech / (p_noise * 10.0 ** (snr / 10.0)))
         return speech + scale * noise
+
+
+def to_waveform(audio) -> np.ndarray:
+    """pkl ``audio`` payload -> float32 waveform in [-1, 1]. Accepts raw PCM
+    bytes, int arrays (int16 PCM), or float arrays."""
+    if isinstance(audio, (bytes, bytearray)):
+        return pcm_to_float(bytes(audio))
+    x = np.asarray(audio)
+    if np.issubdtype(x.dtype, np.integer):
+        return x.astype(np.float32) / float(np.iinfo(x.dtype).max)
+    return x.astype(np.float32).reshape(-1)
+
+
+class AudioTransform:
+    """Waveform pipeline (reference AudioTransform, transforms.py:112-135):
+    train = AddNoise at a random SNR level + whole-clip layer norm; eval =
+    AddNoise at ``snr_target`` (>= 999999 dB = clean) + layer norm. Noise
+    injection is skipped entirely when no noise clip is configured.
+    Thread-safe (the loader fetches samples on a thread pool)."""
+
+    def __init__(self, train: bool, noise: Optional[np.ndarray] = None,
+                 snr_target: float = 999999.0, seed: int = 0):
+        import threading
+
+        self.train = train
+        self.snr_target = float(snr_target)
+        self.add_noise = (AddNoise(noise, rng=np.random.RandomState(seed))
+                          if noise is not None else None)
+        self._lock = threading.Lock()
+
+    def __call__(self, wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, np.float32)
+        if self.add_noise is not None:
+            with self._lock:  # AddNoise's RandomState is not thread-safe
+                wav = (self.add_noise(wav) if self.train
+                       else self.add_noise(wav, self.snr_target))
+        # torch layer_norm over the full clip shape == per-clip standardize
+        return ((wav - wav.mean())
+                / np.sqrt(wav.var() + 1e-8)).astype(np.float32)

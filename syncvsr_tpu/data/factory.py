@@ -172,10 +172,26 @@ class LRSBucketLoader:
             length_dist = np.load(ld_path)
         max_frames = (config.data.max_frames if shuffle
                       else config.data.max_frames_val)
+        audio_transform = None
+        if config.data.modality == "audio":
+            from syncvsr_tpu.data.audio import AudioTransform
+
+            noise = None
+            if config.data.noise_path:
+                np_path = config.data.noise_path
+                if not os.path.isabs(np_path):
+                    np_path = os.path.join(config.data.root, np_path)
+                noise = np.load(np_path)
+            audio_transform = AudioTransform(
+                train=shuffle, noise=noise,
+                snr_target=config.data.snr_target,
+                seed=config.train.seed + (0 if shuffle else 10_000))
         self.ds = LRSDataset(files, self.tt, codec=config.model.codec.name,
                              audio_alignment=config.model.codec.audio_alignment,
                              max_frames=max_frames,
-                             length_distribution=length_dist)
+                             length_distribution=length_dist,
+                             modality=config.data.modality,
+                             audio_transform=audio_transform)
         # ground truth for the schedule: per-clip frame counts (sidecar .npy,
         # built once by scanning the pkls, cached next to the split)
         from syncvsr_tpu.data.lrs import load_length_index

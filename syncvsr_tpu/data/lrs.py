@@ -37,6 +37,10 @@ class LRSDataset:
     # clip's effective length so every host builds the identical batch
     # schedule. The loader bumps window_seed once per epoch.
     window_seed: int = 0
+    # "video" -> JPEG frames; "audio" -> the bundled 16 kHz waveform
+    # (reference av_dataset.py:112-120), 640 samples per video frame
+    modality: str = "video"
+    audio_transform: Optional[object] = None
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -74,7 +78,6 @@ class LRSDataset:
         if wlen != t:
             text = self._window_text(data, start, end, text)
 
-        video = decode_clip(jpegs[start:end])
         tokens_key = f"{self.codec}_tokens"
         if tokens_key in data:
             tokens = np.asarray(data[tokens_key]).squeeze()
@@ -85,11 +88,25 @@ class LRSDataset:
         else:
             tokens = np.zeros(((end - start) * self.audio_alignment, 2), np.int32)
 
+        if self.modality == "audio":
+            from syncvsr_tpu.data.audio import to_waveform
+
+            # 640 samples per 25 fps video frame at 16 kHz (the reference
+            # slices audio in ms via audio_multiple=40, av_dataset.py:57,80)
+            wav = to_waveform(data["audio"])[start * 640:end * 640]
+            if self.audio_transform is not None:
+                wav = self.audio_transform(wav)
+            inputs = wav.astype(np.float32)
+            length = inputs.shape[0]
+        else:
+            inputs = decode_clip(jpegs[start:end]).astype(np.uint8)
+            length = end - start
+
         return {
-            "videos": video.astype(np.uint8),
+            "videos": inputs,
             "labels": self.text_transform.tokenize(text),
             "audio_tokens": tokens.astype(np.int32),
-            "lengths": np.int32(end - start),
+            "lengths": np.int32(length),
         }
 
     def _window_text(self, data, start, end, text) -> str:
@@ -186,8 +203,16 @@ class BucketBatcher:
             for b in self.buckets}
         self.pools: Dict[int, list] = {b: [] for b in self.buckets}
 
+    @staticmethod
+    def frames_of(sample: Dict[str, np.ndarray]) -> int:
+        """Video-frame count of a sample: waveform samples (1-D ``videos``)
+        count 640 per frame; JPEG clips count directly. Buckets are always in
+        frames so both modalities share the schedule."""
+        n = int(sample["lengths"])
+        return n // 640 if sample["videos"].ndim == 1 else n
+
     def add(self, sample: Dict[str, np.ndarray]):
-        b = bucket_for_length(int(sample["lengths"]), self.buckets)
+        b = bucket_for_length(self.frames_of(sample), self.buckets)
         self.pools[b].append(sample)
         if len(self.pools[b]) == self.bucket_bs[b]:
             batch = self._collate(self.pools[b], b)
@@ -216,19 +241,30 @@ class BucketBatcher:
         # LRS/video/lightning.py:114-129)
         sample_weight = (np.ones((n,), np.float32) if valid is None
                          else np.asarray(valid, np.float32))
-        h, w, c = samples[0]["videos"].shape[1:]
-        videos = np.zeros((n, bucket, h, w, c), samples[0]["videos"].dtype)
+        audio_mode = samples[0]["videos"].ndim == 1
+        if audio_mode:
+            # waveform modality: pad to bucket*640 samples, lengths in samples
+            videos = np.zeros((n, bucket * 640), np.float32)
+        else:
+            h, w, c = samples[0]["videos"].shape[1:]
+            videos = np.zeros((n, bucket, h, w, c), samples[0]["videos"].dtype)
         labels = np.full((n, self.max_label_len), -1, np.int32)
         tokens = np.full((n, bucket * self.audio_alignment, self.vq_groups),
                          -1, np.int32)
         lengths = np.zeros((n,), np.int32)
         for i, s in enumerate(samples):
-            t = min(int(s["lengths"]), bucket)
-            videos[i, :t] = s["videos"][:t]
+            if audio_mode:
+                ns = min(int(s["lengths"]), bucket * 640)
+                videos[i, :ns] = s["videos"][:ns]
+                t = ns // 640
+                lengths[i] = ns
+            else:
+                t = min(int(s["lengths"]), bucket)
+                videos[i, :t] = s["videos"][:t]
+                lengths[i] = t
             lab = s["labels"][: self.max_label_len]
             labels[i, : len(lab)] = lab
             tok = s["audio_tokens"][: t * self.audio_alignment]
             tokens[i, : tok.shape[0], : tok.shape[1]] = tok
-            lengths[i] = t
         return {"videos": videos, "labels": labels, "audio_tokens": tokens,
                 "lengths": lengths, "sample_weight": sample_weight}

@@ -59,6 +59,11 @@ def sentence_batch(config: Config, batch_size: int = 0, num_frames: int = 32,
             1, config.model.labels - 1, (label_lengths[i],))
     if config.model.frontend.kind == "landmark":
         videos = rng.randn(b, t, config.model.frontend.input_features)
+    elif config.model.frontend.kind == "conv1d_resnet":
+        # audio modality: raw 16 kHz waveform, 640 samples per video frame,
+        # lengths in samples (models/e2e.py frame_lengths divides by 640)
+        videos = rng.randn(b, t * 640)
+        lengths = lengths * 640
     else:
         videos = rng.randn(b, t, s, s, 1)
     return {
