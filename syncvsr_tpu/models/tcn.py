@@ -98,7 +98,10 @@ class MultibranchTemporalBlock(nn.Module):
         h = nn.Dropout(self.dropout)(jnp.concatenate(outs, -1),
                                      deterministic=not train)
         res = x
-        if x.shape[-1] != self.channels:
+        # reference condition (tcn.py:92): downsample whenever
+        # n_inputs // num_kernels != n_outputs — i.e. effectively always,
+        # including in==out blocks; kept for checkpoint/numerics parity
+        if x.shape[-1] // len(self.kernel_sizes) != self.channels:
             res = _conv(self.channels, 1, 1, name="downsample", dtype=self.dtype)(x)
         return activation(self.relu_type)(h + res)
 

@@ -457,3 +457,66 @@ def convert_lm(sd: Dict[str, Any], kind: str, dim: int, heads: int,
     if kind == "rnn":
         return convert_rnn_lm(sd, layers)
     return convert_transformer_lm(sd, dim, heads, layers)
+
+
+# ---------------------------------------------------------------------------
+# TCN family (LRW/video/src/tcn/models/tcn.py:121-254)
+# ---------------------------------------------------------------------------
+
+def _conv_bn(sd, conv_key, bn_key) -> Tuple[Dict, Dict]:
+    p = {"conv": {"kernel": convert_conv(sd[f"{conv_key}.weight"])},
+         "bn": {"scale": _np(sd[f"{bn_key}.weight"]),
+                "bias": _np(sd[f"{bn_key}.bias"])}}
+    if f"{conv_key}.bias" in sd:
+        p["conv"]["bias"] = _np(sd[f"{conv_key}.bias"])
+    s = {"bn": {"mean": _np(sd[f"{bn_key}.running_mean"]),
+                "var": _np(sd[f"{bn_key}.running_var"])}}
+    return p, s
+
+
+def convert_tcn(sd: Dict[str, Any], layers: int, prefix: str = "network."
+                ) -> Tuple[Dict, Dict]:
+    """Reference TemporalConvNet (tcn.py:236-254, non-dwpw) ->
+    models.tcn.TemporalConvNet (params, batch_stats). Oracle-pinned in
+    tests/test_tcn_oracle.py."""
+    p: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(layers):
+        src = f"{prefix}{i}."
+        blk: Dict[str, Any] = {}
+        blk_s: Dict[str, Any] = {}
+        for ours, conv, bn in (("conv1", "conv1", "batchnorm1"),
+                               ("conv2", "conv2", "batchnorm2")):
+            blk[ours], blk_s[ours] = _conv_bn(sd, f"{src}{conv}", f"{src}{bn}")
+        if f"{src}downsample.weight" in sd:
+            blk["downsample"] = {
+                "kernel": convert_conv(sd[f"{src}downsample.weight"]),
+                "bias": _np(sd[f"{src}downsample.bias"])}
+        p[f"block_{i}"] = blk
+        stats[f"block_{i}"] = blk_s
+    return p, stats
+
+
+def convert_mstcn(sd: Dict[str, Any], layers: int, num_kernels: int,
+                  prefix: str = "network.") -> Tuple[Dict, Dict]:
+    """Reference MultibranchTemporalConvNet (tcn.py:121-143, non-dwpw) ->
+    models.tcn.MultibranchTemporalConvNet (params, batch_stats)."""
+    p: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(layers):
+        src = f"{prefix}{i}."
+        blk: Dict[str, Any] = {}
+        blk_s: Dict[str, Any] = {}
+        for half in (0, 1):
+            for k in range(num_kernels):
+                ours = f"branch{half}_{k}"
+                blk[ours], blk_s[ours] = _conv_bn(
+                    sd, f"{src}cbcr{half}_{k}.conv",
+                    f"{src}cbcr{half}_{k}.batchnorm")
+        if f"{src}downsample.weight" in sd:
+            blk["downsample"] = {
+                "kernel": convert_conv(sd[f"{src}downsample.weight"]),
+                "bias": _np(sd[f"{src}downsample.bias"])}
+        p[f"block_{i}"] = blk
+        stats[f"block_{i}"] = blk_s
+    return p, stats
