@@ -54,6 +54,10 @@ def main():
     # length bonus (reference beam-search "penalty" weight,
     # LRS/video/lightning.py:261-266; 0.0 in the published configs)
     penalty = float(overrides.pop("penalty", 0.0))
+    # beam_batched compile amortization: "max" (default) pads every bucket to
+    # the largest eval bucket -> ONE compiled decoder for the whole test set;
+    # "bucket" keeps one compile per distinct bucket length
+    decode_pad = str(overrides.pop("decode_pad", "max"))
     lm_ckpt = overrides.pop("lm_ckpt", None)
     lm_weight = float(overrides.pop("lm_weight", 0.0))
     # lm_kind=transformer|rnn (espnet TransformerLM / RNNLM scorers,
@@ -169,20 +173,34 @@ def main():
                 record(ref, hyp, float(score))
     elif decode_mode == "beam_batched":
         # one XLA program decodes a whole padded bucket (vmap'd beam search);
-        # one compile per distinct bucket length
+        # decode_pad=max pads time to the largest eval bucket so the whole
+        # test set reuses ONE compiled program (padding is masked by lengths)
         bs_config = BeamSearchConfig(beam_size=beam_size,
                                      ctc_weight=config.model.mtlalpha,
                                      lm_weight=lm_weight, penalty=penalty)
+        from syncvsr_tpu.data.lrs import bucket_for_length
+
+        t_max = bucket_for_length(config.data.max_frames_val,
+                                  config.data.length_buckets)
         decoders = {}
         for batch in eval_loader:
             batch = eval_transform(batch)
-            t = batch["videos"].shape[1]
-            if t not in decoders:
-                decoders[t] = make_batched_beam_decoder(
-                    model, variables, bs_config, max_len=t,
+            v = np.asarray(batch["videos"])
+            audio_mode = v.ndim == 2  # waveform [B, S]: 640 samples/frame
+            tf = v.shape[1] // 640 if audio_mode else v.shape[1]
+            if decode_pad == "max":
+                tf = t_max
+            want = tf * 640 if audio_mode else tf
+            if v.shape[1] < want:
+                pad = [(0, 0), (0, want - v.shape[1])] + \
+                      [(0, 0)] * (v.ndim - 2)
+                v = np.pad(v, pad)
+            if tf not in decoders:
+                decoders[tf] = make_batched_beam_decoder(
+                    model, variables, bs_config, max_len=tf,
                     lm=lm, lm_variables=lm_variables)
-            toks, ns, scores = decoders[t](jnp.asarray(batch["videos"]),
-                                           jnp.asarray(batch["lengths"]))
+            toks, ns, scores = decoders[tf](jnp.asarray(v),
+                                            jnp.asarray(batch["lengths"]))
             for i in valid_rows(batch):
                 hyp = tt.post_process(np.asarray(toks)[i][: int(ns[i])])
                 ref = tt.post_process(np.asarray(batch["labels"][i]))
@@ -201,10 +219,13 @@ def main():
     with open("hypotheses.jsonl", "w") as f:
         for r in hyp_records:
             f.write(json.dumps(r) + "\n")
-    print(json.dumps({f"{split}/wer": wer.wer,
-                      f"{split}/edit_distance": wer.total_edit_distance,
-                      f"{split}/words": wer.total_length,
-                      "hypotheses": "hypotheses.jsonl"}))
+    summary = {f"{split}/wer": wer.wer,
+               f"{split}/edit_distance": wer.total_edit_distance,
+               f"{split}/words": wer.total_length,
+               "hypotheses": "hypotheses.jsonl"}
+    if decode_mode == "beam_batched":
+        summary["decode_compiles"] = len(decoders)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
