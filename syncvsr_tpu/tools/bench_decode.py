@@ -127,6 +127,96 @@ def bench_train1800(batch_size: int = 2):
                       **mem}))
 
 
+def bench_testset(beam: int = 40, bs: int = 8,
+                  buckets=(160, 320, 500), batches_per_bucket: int = 1,
+                  tiny: bool = False):
+    """Full test-set decode wall-clock (VERDICT r2 item 7): the same bucketed
+    batches decoded three ways —
+      per_utt:    one compiled single-utterance decoder per length, rows
+                  decoded sequentially (the reference's loop shape,
+                  LRS/video/lightning.py:114-129 / batch_beam_search.py)
+      per_bucket: one vmap'd decoder compile per bucket length
+      padded:     ONE compile at the max bucket, shorter buckets padded
+                  (evaluate.py decode_pad=max)
+    Random weights mean no early exit: every number is the worst case."""
+    from syncvsr_tpu.config import lrs3_config
+    from syncvsr_tpu.decode import BeamSearchConfig
+    from syncvsr_tpu.decode.api import (
+        make_batched_beam_decoder,
+        make_beam_decoder,
+    )
+
+    config = lrs3_config().override(**{"data.batch_size": bs})
+    crop = 96
+    if tiny:  # CPU smoke of the harness itself
+        config = config.override(**{
+            "model.encoder.layers": 1, "model.encoder.dim": 16,
+            "model.encoder.heads": 2, "model.encoder.conv_kernel": 7,
+            "model.decoder.layers": 1, "model.decoder.dim": 16,
+            "model.decoder.heads": 2, "model.decoder.hidden": 32,
+            "model.labels": 13, "model.codec.audio_vocab_size": 7,
+            "model.dtype": "float32", "model.frontend.stem_channels": 8,
+            "model.frontend.resnet_width": 8, "model.frontend.out_dim": 16,
+            "data.crop_size": 16})
+        crop = 16
+    model, state, variables = _model_and_state(config)
+    bs_config = BeamSearchConfig(beam_size=beam,
+                                 ctc_weight=config.model.mtlalpha)
+    rng = np.random.RandomState(0)
+    batches = []
+    for t in buckets:
+        for _ in range(batches_per_bucket):
+            batches.append((t, rng.randn(bs, t, crop, crop, 1).astype(np.float32),
+                            np.full((bs,), t, np.int32)))
+    n_utts = len(batches) * bs
+
+    out = {"mode": "testset", "beam": beam, "bs": bs,
+           "buckets": list(buckets), "n_utts": n_utts}
+
+    def sync(x):
+        return float(np.asarray(x).reshape(-1)[0])
+
+    # ---- padded single compile --------------------------------------------
+    t_max = max(buckets)
+    t0 = time.perf_counter()
+    dec = make_batched_beam_decoder(model, variables, bs_config, max_len=t_max)
+    for t, v, lens in batches:
+        if t < t_max:
+            v = np.pad(v, [(0, 0), (0, t_max - t), (0, 0), (0, 0), (0, 0)])
+        sync(dec(jnp.asarray(v), jnp.asarray(lens))[2])
+    out["padded"] = {"compiles": 1,
+                     "wall_s": round(time.perf_counter() - t0, 1)}
+    out["padded"]["sec_per_utt"] = round(out["padded"]["wall_s"] / n_utts, 3)
+
+    # ---- one compile per bucket -------------------------------------------
+    t0 = time.perf_counter()
+    decs = {}
+    for t, v, lens in batches:
+        if t not in decs:
+            decs[t] = make_batched_beam_decoder(model, variables, bs_config,
+                                                max_len=t)
+        sync(decs[t](jnp.asarray(v), jnp.asarray(lens))[2])
+    out["per_bucket"] = {"compiles": len(decs),
+                         "wall_s": round(time.perf_counter() - t0, 1)}
+    out["per_bucket"]["sec_per_utt"] = round(
+        out["per_bucket"]["wall_s"] / n_utts, 3)
+
+    # ---- per-utterance (2 rows per bucket as a sample) --------------------
+    t0 = time.perf_counter()
+    n_single = 0
+    dec1 = {}
+    for t, v, lens in batches[:len(buckets)]:
+        if t not in dec1:
+            dec1[t] = make_beam_decoder(model, variables, bs_config)
+        for i in range(2):
+            sync(dec1[t](jnp.asarray(v[i:i + 1]), jnp.asarray(lens[i]))[2])
+            n_single += 1
+    out["per_utt_sample"] = {
+        "n": n_single, "wall_s": round(time.perf_counter() - t0, 1),
+        "sec_per_utt": round((time.perf_counter() - t0) / n_single, 3)}
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "beam"
     if mode == "beam":
@@ -135,5 +225,8 @@ if __name__ == "__main__":
         bench_beam(int(sys.argv[2]) if len(sys.argv) > 2 else 500, greedy=True)
     elif mode == "train1800":
         bench_train1800(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    elif mode == "testset":
+        bench_testset(beam=int(sys.argv[2]) if len(sys.argv) > 2 else 40,
+                      bs=int(sys.argv[3]) if len(sys.argv) > 3 else 8)
     else:
         raise SystemExit(f"unknown mode {mode}")
