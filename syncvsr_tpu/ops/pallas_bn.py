@@ -174,6 +174,27 @@ def _use_pallas() -> bool:
     return bool(os.environ.get("SYNCVSR_BN_PALLAS"))
 
 
+def _stats_stride() -> int:
+    """Experimental (opt-in, SYNCVSR_BN_STATS_STRIDE=s): estimate the batch
+    statistics from a spatial subsample x[..., ::s, ::s, :] instead of the
+    full activation — the forward stats pass reads 1/s^2 of the tensor. With
+    thousands of images per batch the subsampled estimator is still extremely
+    tight; the custom VJP below is the EXACT gradient of the subsampled-stats
+    objective (the correction terms land only on sampled positions, while
+    dscale/dbias stay full exact sums)."""
+    import os
+
+    return max(1, int(os.environ.get("SYNCVSR_BN_STATS_STRIDE", "1")))
+
+
+def _spatial_subsample(x: Array, s: int) -> Array:
+    """Stride H and W (the two axes before channels) for ndim >= 4."""
+    idx = [slice(None)] * x.ndim
+    idx[-3] = slice(None, None, s)
+    idx[-2] = slice(None, None, s)
+    return x[tuple(idx)]
+
+
 def _foldable(x2d: Array) -> bool:
     f = _fold(x2d.shape[-1])
     return f is not None and x2d.shape[0] % f == 0
@@ -205,11 +226,15 @@ def batch_norm_train(x: Array, scale: Array, bias: Array, eps: float,
 def _bn_fwd_impl(x, scale, bias, eps, dtype):
     shape = x.shape
     c = shape[-1]
-    n = x.size // c
-    x2d = x.reshape(n, c)
-    s, s2 = _stats(x2d)
-    mean = s / n
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    stride = _stats_stride()
+    if stride > 1 and x.ndim >= 4:
+        xs = _spatial_subsample(x, stride)
+    else:
+        xs = x
+    m = xs.size // c
+    s, s2 = _stats(xs.reshape(m, c))
+    mean = s / m
+    var = jnp.maximum(s2 / m - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     a = (inv * scale.astype(jnp.float32)).astype(dtype)
     b = (bias.astype(jnp.float32) - mean * inv * scale.astype(jnp.float32)
@@ -236,10 +261,27 @@ def _bn_bwd(eps, dtype, res, cts):
     dbias = s1
     scale32 = scale.astype(jnp.float32)
     k = (inv * scale32).astype(dtype)
-    c1 = (inv * scale32 * s1 / n).astype(dtype)
-    c2 = (inv * inv * scale32 * s2 / n).astype(dtype)
+    stride = _stats_stride()
+    if stride > 1 and x.ndim >= 4:
+        # subsampled statistics: the mean/var gradient flows only through
+        # sampled positions, each weighted by 1/m (m = sample count):
+        #   dx_j = k*gy_j - 1(j in S) * (k*S1 + inv^2*scale*(x_j-mu)*S2) / m
+        # (exact VJP of the subsampled-stats objective; dscale/dbias are
+        # full exact sums as in standard BN)
+        m = _spatial_subsample(x, stride).size // c
+        h_idx = jax.lax.broadcasted_iota(jnp.int32, shape, x.ndim - 3)
+        w_idx = jax.lax.broadcasted_iota(jnp.int32, shape, x.ndim - 2)
+        mask = ((h_idx % stride == 0) & (w_idx % stride == 0)).astype(dtype)
+    else:
+        m = n
+        mask = None
+    c1 = (inv * scale32 * s1 / m).astype(dtype)
+    c2 = (inv * inv * scale32 * s2 / m).astype(dtype)
     xc = x.astype(dtype) - mean.astype(dtype)
-    dx = (gy.astype(dtype) * k - c1 - xc * c2).reshape(shape)
+    corr = c1 + xc.reshape(shape) * c2
+    if mask is not None:
+        corr = corr * mask
+    dx = gy.astype(dtype).reshape(shape) * k - corr
     return dx, dscale.astype(jnp.float32), dbias.astype(jnp.float32)
 
 

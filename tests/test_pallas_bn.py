@@ -105,3 +105,49 @@ def test_batch_norm_train_direct():
     np.testing.assert_allclose(np.asarray(y).std(0), 1.0, atol=1e-3)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(x).mean(0),
                                atol=1e-5)
+
+
+def test_subsampled_bn_stats_exact_vjp(monkeypatch):
+    """SYNCVSR_BN_STATS_STRIDE=s: batch_norm_train must equal the autodiff of
+    an explicit subsampled-stats BN (value AND gradients) — the custom VJP's
+    masked correction terms are the exact derivative, not an approximation."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncvsr_tpu.ops.pallas_bn import batch_norm_train
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 3, 6, 8, 5).astype(np.float32))
+    scale = jnp.asarray(rng.rand(5).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(5).astype(np.float32))
+    eps, s = 1e-5, 2
+
+    def ref_loss(x, scale, bias):
+        xs = x[..., ::s, ::s, :]
+        m = xs.size // xs.shape[-1]
+        mean = xs.reshape(m, -1).mean(0)
+        var = (xs.reshape(m, -1) ** 2).mean(0) - mean ** 2
+        inv = jax.lax.rsqrt(var + eps)
+        y = (x - mean) * inv * scale + bias
+        return jnp.sum(jnp.sin(y)), y
+
+    def fast_loss(x, scale, bias):
+        y, _, _ = batch_norm_train(x, scale, bias, eps, jnp.float32)
+        return jnp.sum(jnp.sin(y)), y
+
+    monkeypatch.setenv("SYNCVSR_BN_STATS_STRIDE", str(s))
+    (l_f, y_f), g_f = jax.value_and_grad(fast_loss, argnums=(0, 1, 2),
+                                         has_aux=True)(x, scale, bias)
+    (l_r, y_r), g_r = jax.value_and_grad(ref_loss, argnums=(0, 1, 2),
+                                         has_aux=True)(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # stride 1 (default) stays the standard full-batch BN
+    monkeypatch.delenv("SYNCVSR_BN_STATS_STRIDE")
+    y1, mean1, var1 = batch_norm_train(x, scale, bias, eps, jnp.float32)
+    full_mean = x.reshape(-1, 5).mean(0)
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(full_mean),
+                               rtol=1e-5, atol=1e-6)
