@@ -57,10 +57,14 @@ class SyncHead(nn.Module):
 
     @nn.compact
     def loss(self, features: Array, tokens: Array, chunk: Optional[int] = None) -> Array:
+        import os
+
         out = self.alignment * self.groups * self.vocab
         kernel = self.param("kernel", trunc_normal(), (features.shape[-1], out))
         bias = self.param("bias", nn.initializers.zeros, (out,))
-        if jax.default_backend() in ("tpu", "axon"):
+        # SYNCVSR_SYNC_PALLAS=0 forces the chunked XLA path (kernel triage)
+        if (jax.default_backend() in ("tpu", "axon")
+                and os.environ.get("SYNCVSR_SYNC_PALLAS", "1") != "0"):
             from syncvsr_tpu.ops.pallas_sync import pallas_sync_cross_entropy
 
             bwd_chunk = chunk or min(max(features.shape[1], 8), 128)

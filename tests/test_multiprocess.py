@@ -33,7 +33,9 @@ def _spawn(extra_args):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # generous: the 1-core container runs both workers (and often a
+            # concurrent pytest) on one CPU
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
