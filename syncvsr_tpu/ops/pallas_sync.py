@@ -63,6 +63,51 @@ def _kernel(x_ref, w_ref, b_ref, tok_ref, out_ref, *, slots: int,
     out_ref[:] = jnp.where(row == 0, jnp.broadcast_to(sums, (8, 128)), 0.0)
 
 
+def _kernel_split(x_ref, w_ref, b_ref, tok_ref, out_ref, *, slots: int,
+                  vpad: int, tile: int):
+    """Slot-split variant: grid (row tiles, slots); each step projects onto
+    ONE slot's [dpad, vpad] weight block (~0.6 MB at lrs3 dims vs the 4.5 MB
+    monolithic block whose double-buffered footprint brushes the VMEM
+    ceiling at d=768)."""
+    s = pl.program_id(1)
+    logits = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    logits = logits + b_ref[0, :][None, :]                    # [tile, vpad]
+
+    # slot-s token per row via a masked lane reduction (no dynamic lane
+    # slicing in Mosaic): exactly one lane matches col == s
+    col128 = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+    tok = jnp.sum(jnp.where(col128 == s, tok_ref[:], 0), axis=1,
+                  keepdims=True)                              # [tile, 1]
+    valid = tok >= 0
+    safe = jnp.where(valid, tok, 0)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (tile, vpad), 1) == safe)
+    lab = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1, keepdims=True)
+    ce = jnp.where(valid, lse - lab, 0.0)                     # [tile, 1]
+
+    part = (jnp.where(col128 == s, ce, 0.0)
+            + jnp.where(col128 == slots + s,
+                        valid.astype(jnp.float32), 0.0))
+    sums = jnp.sum(part, axis=0, keepdims=True)               # [1, 128]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    block = jnp.where(row == 0, jnp.broadcast_to(sums, (8, 128)), 0.0)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:] = block
+
+    @pl.when(s > 0)
+    def _acc():
+        out_ref[:] += block
+
+
+# weight blocks larger than this run the slot-split kernel (the monolithic
+# kernel's [dpad, slots*vpad] bf16 block, double-buffered next to the f32
+# logits, exceeds VMEM around d=768/lrs3 dims)
+_MONO_W_BYTES = 4 * 1024 * 1024
+
+
 def _pallas_forward(features: Array, kernel: Array, bias: Array, tok: Array,
                     slots: int, vocab: int, tile: int = 256,
                     interpret: bool = False) -> Tuple[Array, Array]:
@@ -84,22 +129,44 @@ def _pallas_forward(features: Array, kernel: Array, bias: Array, tok: Array,
                 constant_values=-1)
 
     n_tiles = npad // tile
-    parts = pl.pallas_call(
-        functools.partial(_kernel, slots=slots, vpad=vpad, tile=tile),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile, dpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dpad, slots * vpad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, slots * vpad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
-        interpret=interpret,
-    )(x, w, b, t)
+    if dpad * slots * vpad * 2 > _MONO_W_BYTES:
+        parts = pl.pallas_call(
+            functools.partial(_kernel_split, slots=slots, vpad=vpad, tile=tile),
+            grid=(n_tiles, slots),
+            in_specs=[
+                pl.BlockSpec((tile, dpad), lambda i, s: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dpad, vpad), lambda i, s: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, vpad), lambda i, s: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 128), lambda i, s: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda i, s: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
+            interpret=interpret,
+        )(x, w, b, t)
+    else:
+        parts = pl.pallas_call(
+            functools.partial(_kernel, slots=slots, vpad=vpad, tile=tile),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((tile, dpad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dpad, slots * vpad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, slots * vpad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
+            interpret=interpret,
+        )(x, w, b, t)
     ce_sum = parts[:, :slots].sum()
     count = parts[:, slots:2 * slots].sum()
     return ce_sum, count

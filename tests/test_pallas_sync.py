@@ -52,3 +52,26 @@ def test_pallas_gradients_match_reference():
     for a, b_ in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_slot_split_matches_reference():
+    """Large-d configs route to the slot-split kernel (grid rows x slots,
+    per-slot weight blocks) — same numerics as the monolithic kernel and the
+    unfused reference. d=768/V=320 are the lrs3 dims that cross the
+    _MONO_W_BYTES threshold."""
+    rng = np.random.RandomState(1)
+    a, g, v, d = 4, 2, 320, 768
+    b, t = 1, 3
+    features = jnp.asarray(rng.randn(b, t, d), jnp.float32)
+    kernel = jnp.asarray(rng.randn(d, a * g * v) * 0.02, jnp.float32)
+    bias = jnp.asarray(rng.randn(a * g * v) * 0.01, jnp.float32)
+    tokens = jnp.asarray(rng.randint(0, v, (b, t * a + 2, g)), jnp.int32)
+    tokens = tokens.at[:, 0].set(-1)  # some ignores
+
+    from syncvsr_tpu.ops import pallas_sync as ps
+
+    assert (768 * a * g * ps._round_up(v, 128) * 2 > ps._MONO_W_BYTES)
+    ref = sync_cross_entropy_reference(features, kernel, bias, tokens, a, g, v)
+    got = pallas_sync_cross_entropy(features, kernel, bias, tokens, a, g, v,
+                                    chunk=4, interpret=True)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-2)
