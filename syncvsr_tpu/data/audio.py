@@ -39,15 +39,17 @@ class AddNoise:
         self.rng = rng or np.random.RandomState(0)
 
     def __call__(self, speech: np.ndarray,
-                 snr_target: Optional[float] = None) -> np.ndarray:
+                 snr_target: Optional[float] = None,
+                 rng: Optional[np.random.RandomState] = None) -> np.ndarray:
         speech = np.asarray(speech, np.float32)
+        rng = rng if rng is not None else self.rng
         snr = snr_target if snr_target is not None \
-            else self.snr_levels[self.rng.randint(len(self.snr_levels))]
+            else self.snr_levels[rng.randint(len(self.snr_levels))]
         if snr >= 999999:
             return speech
         n = speech.reshape(-1).shape[0]
         assert self.noise.shape[0] >= n, "noise clip shorter than speech"
-        start = self.rng.randint(self.noise.shape[0] - n + 1)
+        start = rng.randint(self.noise.shape[0] - n + 1)
         noise = self.noise[start:start + n].reshape(speech.shape)
 
         p_speech = np.mean(speech ** 2) + 1e-12
@@ -72,24 +74,28 @@ class AudioTransform:
     train = AddNoise at a random SNR level + whole-clip layer norm; eval =
     AddNoise at ``snr_target`` (>= 999999 dB = clean) + layer norm. Noise
     injection is skipped entirely when no noise clip is configured.
-    Thread-safe (the loader fetches samples on a thread pool)."""
+
+    Noise draws are a pure function of (seed, epoch_seed, index): samples
+    are fetched on a thread pool in nondeterministic completion order, and
+    eval WER at a fixed snr_target must be run-to-run reproducible (same
+    discipline as LRSDataset.plan_window)."""
 
     def __init__(self, train: bool, noise: Optional[np.ndarray] = None,
                  snr_target: float = 999999.0, seed: int = 0):
-        import threading
-
         self.train = train
+        self.seed = seed
         self.snr_target = float(snr_target)
-        self.add_noise = (AddNoise(noise, rng=np.random.RandomState(seed))
-                          if noise is not None else None)
-        self._lock = threading.Lock()
+        self.add_noise = AddNoise(noise) if noise is not None else None
 
-    def __call__(self, wav: np.ndarray) -> np.ndarray:
+    def __call__(self, wav: np.ndarray, index: int = 0,
+                 epoch_seed: int = 0) -> np.ndarray:
         wav = np.asarray(wav, np.float32)
         if self.add_noise is not None:
-            with self._lock:  # AddNoise's RandomState is not thread-safe
-                wav = (self.add_noise(wav) if self.train
-                       else self.add_noise(wav, self.snr_target))
+            rng = np.random.RandomState(
+                (self.seed * 2_654_435_761 + epoch_seed * 1_000_003
+                 + index * 7919 + 13) % (2 ** 31 - 1))
+            wav = (self.add_noise(wav, rng=rng) if self.train
+                   else self.add_noise(wav, self.snr_target, rng=rng))
         # torch layer_norm over the full clip shape == per-clip standardize
         return ((wav - wav.mean())
                 / np.sqrt(wav.var() + 1e-8)).astype(np.float32)

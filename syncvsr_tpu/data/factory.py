@@ -148,7 +148,7 @@ class LRSBucketLoader:
     (the reference trains LRS multi-node with per-rank samplers,
     LRS/video/config/lrs3.yaml:93-95). The schedule is therefore computed
     identically on every host *before* any sample is read, from a per-split
-    length index (sidecar ``<split>.lengths.npy``, built once and cached)
+    length index (sidecar ``<split>.lengths.npz``, built once and cached)
     plus deterministic per-(epoch, index) windowing; each host then fetches
     only its strided slice of every scheduled batch.
     """

@@ -66,14 +66,31 @@ class DataLoader:
         return idx[self.pi::self.pc]
 
     def __len__(self) -> int:
+        if self.pad_last:
+            return -(-len(self.dataset) // (self.local_bs * self.pc))
         n = len(self._epoch_indices())
         return n // self.local_bs if self.drop_last else -(-n // self.local_bs)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._epoch_indices()
         self.epoch += 1
-        n_batches = len(indices) // self.local_bs if self.drop_last \
-            else -(-len(indices) // self.local_bs)
+        if self.pad_last:
+            # identical batch count on EVERY host, derived from the global
+            # dataset size: hosts' strided shards can differ by one sample,
+            # and a host running one fewer collective eval step than its
+            # peers deadlocks the mesh. Short shards repeat their tail with
+            # zero weight instead.
+            n_batches = -(-len(self.dataset) // (self.local_bs * self.pc))
+            n_valid = len(indices)
+            need = n_batches * self.local_bs
+            if n_valid < need:
+                pad_src = indices[-1:] if n_valid else np.zeros(1, np.int64)
+                indices = np.concatenate(
+                    [indices, np.repeat(pad_src, need - n_valid)])
+        else:
+            n_valid = len(indices)
+            n_batches = len(indices) // self.local_bs if self.drop_last \
+                else -(-len(indices) // self.local_bs)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -96,8 +113,8 @@ class DataLoader:
             try:
                 def submit(b):
                     chunk = indices[b * self.local_bs:(b + 1) * self.local_bs]
-                    return [pool.submit(self.dataset.__getitem__, int(i))
-                            for i in chunk]
+                    return b, [pool.submit(self.dataset.__getitem__, int(i))
+                               for i in chunk]
 
                 ahead = self.prefetch + 1
                 pending = deque(submit(b)
@@ -106,18 +123,18 @@ class DataLoader:
                 while pending:
                     if stop.is_set():
                         return
-                    samples = [f.result() for f in pending.popleft()]
+                    b, futs = pending.popleft()
+                    samples = [f.result() for f in futs]
                     if next_b < n_batches:
                         pending.append(submit(next_b))
                         next_b += 1
-                    n_valid = len(samples)
-                    if self.pad_last and n_valid < self.local_bs:
-                        samples = samples + [samples[-1]] * (self.local_bs - n_valid)
                     batch = self.collate(samples)
                     if self.pad_last:
-                        w = np.zeros((len(samples),), np.float32)
-                        w[:n_valid] = 1.0
-                        batch["sample_weight"] = w
+                        # rows whose position exceeds this host's real shard
+                        # size are repeat-padding (weight 0)
+                        pos = b * self.local_bs + np.arange(len(samples))
+                        batch["sample_weight"] = (
+                            pos < n_valid).astype(np.float32)
                     if not _put(batch):
                         return
             except BaseException as e:  # surfaced in the consumer

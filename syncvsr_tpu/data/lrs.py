@@ -95,7 +95,10 @@ class LRSDataset:
             # slices audio in ms via audio_multiple=40, av_dataset.py:57,80)
             wav = to_waveform(data["audio"])[start * 640:end * 640]
             if self.audio_transform is not None:
-                wav = self.audio_transform(wav)
+                # per-(epoch, clip) deterministic noise: reproducible eval
+                # WER and no cross-thread RNG races
+                wav = self.audio_transform(wav, index=index,
+                                           epoch_seed=self.window_seed)
             inputs = wav.astype(np.float32)
             length = inputs.shape[0]
         else:
@@ -134,18 +137,32 @@ def glob_lrs_files(root: str, dataset: str, split: str) -> List[str]:
 # ---------------------------------------------------------------------------
 
 def length_index_path(root: str, dataset: str, split: str) -> str:
-    return os.path.join(root, dataset, f"{split}.lengths.npy")
+    return os.path.join(root, dataset, f"{split}.lengths.npz")
 
 
 def read_clip_length(path: str) -> int:
     return len(_torch_load(path)["video"])
 
 
+def _file_fingerprint(files: Sequence[str]) -> str:
+    """Detects re-preprocessed datasets: basename + byte size of every pkl
+    (mtime is too volatile across copies/rsyncs). A stale sidecar would
+    silently bucket clips by wrong lengths — truncated utterances with
+    full-length transcripts, no error."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for f in files:
+        h.update(f"{os.path.basename(f)}:{os.path.getsize(f)}\n".encode())
+    return h.hexdigest()
+
+
 def build_length_index(files: Sequence[str], out_path: Optional[str] = None,
                        num_threads: int = 16) -> np.ndarray:
     """Frame count per clip, aligned to the (sorted) file list. Cached as a
-    sidecar .npy so the bucket schedule — which every host must compute
-    identically before reading any sample — never touches the pkls."""
+    sidecar .npz (lengths + file fingerprint) so the bucket schedule — which
+    every host must compute identically before reading any sample — never
+    touches the pkls."""
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
@@ -153,9 +170,10 @@ def build_length_index(files: Sequence[str], out_path: Optional[str] = None,
                               np.int32, count=len(files))
     if out_path:
         try:
-            tmp = out_path + ".tmp.npy"
-            np.save(tmp, lengths)
-            os.replace(tmp, out_path)
+            tmp = out_path + ".tmp.npz"
+            np.savez(tmp, lengths=lengths,
+                     fingerprint=np.asarray(_file_fingerprint(files)))
+            os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", out_path)
         except OSError:
             pass  # read-only dataset dir: keep the in-memory index
     return lengths
@@ -164,12 +182,14 @@ def build_length_index(files: Sequence[str], out_path: Optional[str] = None,
 def load_length_index(root: str, dataset: str, split: str,
                       files: Sequence[str],
                       num_threads: int = 16) -> np.ndarray:
-    """Load the sidecar length index, (re)building it when missing or stale."""
+    """Load the sidecar length index, (re)building it when missing or stale
+    (entry count OR file fingerprint mismatch)."""
     path = length_index_path(root, dataset, split)
     if os.path.exists(path):
-        arr = np.load(path)
-        if len(arr) == len(files):
-            return arr.astype(np.int32)
+        idx = np.load(path)
+        if (len(idx["lengths"]) == len(files)
+                and str(idx["fingerprint"]) == _file_fingerprint(files)):
+            return idx["lengths"].astype(np.int32)
     return build_length_index(files, path, num_threads)
 
 

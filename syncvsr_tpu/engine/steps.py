@@ -93,7 +93,15 @@ def build_eval_step(mesh: Optional[Mesh] = None) -> Callable:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        return state.apply_fn(variables, **batch, det=True)
+        metrics = state.apply_fn(variables, **batch, det=True)
+        if "sample_weight" in batch:
+            # GLOBAL real-sample count (the metrics are weighted means over
+            # the whole sharded batch): computed in-graph so every host sees
+            # the same replicated value — weighting the meter by a host-local
+            # count would bias and diverge multi-host eval
+            metrics = dict(metrics, _weight=batch["sample_weight"]
+                           .astype(jnp.float32).sum())
+        return metrics
 
     if mesh is None:
         return jax.jit(eval_step)

@@ -41,7 +41,7 @@ from syncvsr_tpu.ops.image import (
 )
 from syncvsr_tpu.parallel import create_mesh, shard_batch
 from syncvsr_tpu.utils import checkpoint as ckpt
-from syncvsr_tpu.utils.metrics import AverageMeter
+from syncvsr_tpu.utils.metrics import AverageMeter, split_eval_weights
 from syncvsr_tpu.utils.text import WordErrorRate
 
 
@@ -101,11 +101,11 @@ def main():
             batch = eval_transform(batch)
             # exact accuracy over every test clip: the loader repeat-pads the
             # tail batch and marks real rows in sample_weight; the model
-            # computes weighted means, the meter weights by real count
-            w = (float(np.sum(batch["sample_weight"]))
-                 if "sample_weight" in batch else 1.0)
-            meter.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))),
-                         weight=w)
+            # computes weighted means, the step returns the GLOBAL real count
+            # and the token/slot denominators for cross-batch aggregation
+            m = jax.device_get(eval_step(state, shard_batch(mesh, batch)))
+            m, w = split_eval_weights(m)
+            meter.update(m, weight=w)
         print(json.dumps(meter.summary(f"{split}/")))
         return
 
@@ -142,7 +142,14 @@ def main():
             lm = TransformerLM(vocab=config.model.labels, **lm_shape)
         if lm_ckpt.endswith(".msgpack"):
             lm_payload = ckpt.load_msgpack(lm_ckpt)
-            lm_variables = {"params": lm_payload.get("params", lm_payload)}
+            # merge onto a fresh init (partial_load): checkpoints predating
+            # an architecture addition (e.g. the espnet input_norm) still
+            # load instead of raising on the missing subtree
+            lm_init = lm.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 4), jnp.int32))["params"]
+            lm_params, _ = ckpt.partial_load(
+                lm_init, lm_payload.get("params", lm_payload))
+            lm_variables = {"params": lm_params}
         else:
             # espnet-trained torch LM: convert layouts + names on load
             import torch

@@ -134,8 +134,18 @@ class SentenceVSRModel(nn.Module):
 
         loss = (cfg.mtlalpha * loss_ctc + (1.0 - cfg.mtlalpha) * loss_att
                 + cfg.sync_lambda * loss_audio)
-        return {"loss": loss, "loss_ctc": loss_ctc, "loss_att": loss_att,
-                "loss_audio": loss_audio, "decoder_acc": acc}
+        out = {"loss": loss, "loss_ctc": loss_ctc, "loss_att": loss_att,
+               "loss_audio": loss_audio, "decoder_acc": acc}
+        if det:
+            # true denominators for cross-batch aggregation: decoder_acc is
+            # a token mean, loss_audio a sync-slot mean — weighting them by
+            # the sample count would break eval_batch_size invariance
+            valid_out = ys_out != -1
+            if sample_weight is not None:
+                valid_out = valid_out & (sample_weight[:, None] > 0)
+            out["_tokens"] = valid_out.sum().astype(jnp.float32)
+            out["_slots"] = (masked_tokens >= 0).sum().astype(jnp.float32)
+        return out
 
     # ---- decoding hooks (used by syncvsr_tpu.decode) ------------------------
     def ctc_log_probs(self, encoded: Array) -> Array:

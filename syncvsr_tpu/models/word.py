@@ -24,18 +24,10 @@ from syncvsr_tpu.models.frontend import build_frontend
 from syncvsr_tpu.models.layers import trunc_normal
 from syncvsr_tpu.models.transformer import TransformerEncoder
 from syncvsr_tpu.ops.cutmix import batch_mixup, temporal_cutmix
+from syncvsr_tpu.ops.masking import weighted_mean
 from syncvsr_tpu.ops.sync_loss import sync_cross_entropy
 
 Array = jax.Array
-
-
-def weighted_mean(per_sample: Array, weight: Optional[Array]) -> Array:
-    """Mean over the batch, or a sample-weighted mean when ``weight`` is
-    given (exact eval over repeat-padded tail batches)."""
-    if weight is None:
-        return per_sample.mean()
-    w = weight.astype(jnp.float32)
-    return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def smooth_labels(onehot: Array, smoothing: float) -> Array:
@@ -180,8 +172,13 @@ class WordVSRModel(nn.Module):
         acc5 = weighted_mean(
             (jax.lax.top_k(logits, k=k5)[1] == hard[:, None]).any(axis=1)
             .astype(jnp.float32), sample_weight)
-        return {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
-                "acc1": acc1, "acc5": acc5}
+        out = {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
+               "acc1": acc1, "acc5": acc5}
+        if det:
+            # loss_audio is a sync-slot mean: give eval aggregation its true
+            # denominator (batch-size-invariant cross-batch averaging)
+            out["_slots"] = (audio_tokens >= 0).sum().astype(jnp.float32)
+        return out
 
     def _dense_tcn_path(self, inputs, onehot, audio_tokens, word_mask,
                         attention_mask, sample_weight, det):
@@ -261,5 +258,8 @@ class WordVSRModel(nn.Module):
         acc5 = weighted_mean(
             (jax.lax.top_k(logits, k=k5)[1] == hard[:, None]).any(axis=1)
             .astype(jnp.float32), sample_weight)
-        return {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
-                "acc1": acc1, "acc5": acc5}
+        out = {"loss": loss, "loss_word": loss_word, "loss_audio": loss_audio,
+               "acc1": acc1, "acc5": acc5}
+        if det:
+            out["_slots"] = (audio_tokens >= 0).sum().astype(jnp.float32)
+        return out

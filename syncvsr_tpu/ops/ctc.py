@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from syncvsr_tpu.ops.masking import weighted_mean
+
 Array = jax.Array
 
 
@@ -34,10 +36,7 @@ def ctc_loss(logits: Array, logit_lengths: Array, labels: Array,
     safe_labels = jnp.where(label_pad > 0, 0, labels)
     per_seq = optax.ctc_loss(logits.astype(jnp.float32), logit_pad,
                              safe_labels, label_pad, blank_id=blank_id)
-    if sample_weight is None:
-        return per_seq.mean()
-    w = sample_weight.astype(jnp.float32)
-    return (per_seq * w).sum() / jnp.maximum(w.sum(), 1.0)
+    return weighted_mean(per_seq, sample_weight)
 
 
 def ctc_greedy_decode(logits: Array, logit_lengths: Array,

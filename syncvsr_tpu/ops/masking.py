@@ -16,6 +16,16 @@ def length_mask(lengths: Array, max_len: int) -> Array:
     return jnp.arange(max_len)[None, :] < lengths[:, None]
 
 
+def weighted_mean(per_sample: Array, weight) -> Array:
+    """Mean over the batch, or a sample-weighted mean when ``weight`` [B] is
+    given (exact eval over repeat-padded tail batches). The single source of
+    truth for the idiom — used by the word/sentence losses and CTC."""
+    if weight is None:
+        return per_sample.mean()
+    w = weight.astype(jnp.float32)
+    return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
 def add_sos_eos(labels: Array, sos: int, eos: int,
                 ignore_id: int = -1) -> Tuple[Array, Array, Array]:
     """Teacher-forcing io pair from padded labels.
@@ -73,7 +83,7 @@ def label_smoothing_kl(logits: Array, targets: Array, vocab: int,
         if normalize_length:
             tokens = (~ignore).reshape(b, -1).sum(axis=1) * w
             return (per_sample * w).sum() / jnp.maximum(tokens.sum(), 1)
-        return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)
+        return weighted_mean(per_sample, sample_weight)
     denom = jnp.maximum((~ignore).sum(), 1) if normalize_length else b
     return kl.sum() / denom
 

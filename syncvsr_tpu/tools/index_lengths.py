@@ -11,7 +11,7 @@ Usage:
     python -m syncvsr_tpu.tools.index_lengths --root /data --dataset LRS3 \
         [--splits train val test] [--threads 16]
 
-Writes <root>/<DATASET>/<split>.lengths.npy per split.
+Writes <root>/<DATASET>/<split>.lengths.npz per split.
 """
 
 from __future__ import annotations

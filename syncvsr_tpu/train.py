@@ -37,7 +37,11 @@ from syncvsr_tpu.ops.image import (
 )
 from syncvsr_tpu.parallel import create_mesh, shard_batch
 from syncvsr_tpu.utils import checkpoint as ckpt
-from syncvsr_tpu.utils.metrics import AverageMeter, MetricLogger
+from syncvsr_tpu.utils.metrics import (
+    AverageMeter,
+    MetricLogger,
+    split_eval_weights,
+)
 from syncvsr_tpu.utils.profiling import StepTimer
 
 
@@ -133,13 +137,9 @@ def train(config: Config) -> Dict[str, float]:
         em = AverageMeter()
         for batch in eval_loader:
             batch = eval_transform(batch)
-            # metrics are weighted means over real rows (sample_weight marks
-            # repeat-padded tails); weight the meter by the real count so the
-            # epoch averages are exact over every sample
-            w = (float(np.sum(batch["sample_weight"]))
-                 if "sample_weight" in batch else 1.0)
-            em.update(jax.device_get(eval_step(state, shard_batch(mesh, batch))),
-                      weight=w)
+            m = jax.device_get(eval_step(state, shard_batch(mesh, batch)))
+            m, w = split_eval_weights(m)
+            em.update(m, weight=w)
         return em.summary("val/")
 
     for epoch in range(config.train.epochs):

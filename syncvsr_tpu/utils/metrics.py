@@ -20,11 +20,18 @@ class AverageMeter:
         self.buffer = defaultdict(list)
         self.use_latest = set(use_latest)
 
-    def update(self, metrics: Dict[str, Any], weight: float = 1.0):
+    def update(self, metrics: Dict[str, Any], weight=1.0):
         """``weight`` makes partial (padded) eval batches exact: pass the
-        real sample count so tail batches don't skew the averages."""
+        real sample count so tail batches don't skew the averages. A dict
+        gives per-key weights (``__default__`` for the rest) — used for
+        token-/slot-normalized metrics whose true denominator is not the
+        sample count."""
         for k, v in metrics.items():
-            self.buffer[k].append((np.asarray(v), float(weight)))
+            if isinstance(weight, dict):
+                w = weight.get(k, weight.get("__default__", 1.0))
+            else:
+                w = weight
+            self.buffer[k].append((np.asarray(v), float(w)))
 
     def summary(self, prefix: str = "") -> Dict[str, float]:
         out = {}
@@ -72,3 +79,20 @@ class MetricLogger:
             self.fh.close()
         if self.wandb:
             self.wandb.finish()
+
+
+def split_eval_weights(metrics):
+    """Pop the in-graph denominators an eval step returns and build the
+    per-key weight dict for AverageMeter.update: ``_weight`` is the GLOBAL
+    real-sample count (exact repeat-padded-tail handling, identical on every
+    host since it's computed on the sharded batch), ``_tokens``/``_slots``
+    are the true denominators of the token-/slot-normalized metrics
+    (decoder_acc, loss_audio) — sample-count weighting would break
+    eval_batch_size invariance for those."""
+    m = dict(metrics)
+    weights = {"__default__": float(m.pop("_weight", 1.0))}
+    if "_tokens" in m:
+        weights["decoder_acc"] = float(m.pop("_tokens"))
+    if "_slots" in m:
+        weights["loss_audio"] = float(m.pop("_slots"))
+    return m, weights
