@@ -112,7 +112,12 @@ def bench_lrs3(on_accel: bool) -> None:
     from syncvsr_tpu.models import build_model
     from syncvsr_tpu.ops.image import build_sentence_aug
 
-    batch_size = 16 if on_accel else 2
+    # bs 8 x T=160: the stable single-chip bucket (reference global bs 16 is
+    # split across chips). bs 16 on one v5e chip reproducibly crashes the TPU
+    # worker ("kernel fault") with or without the Pallas sync kernel — an
+    # XLA/runtime fault at those shapes, triaged 2026-08-17; bs8 measured
+    # 102 ms/step (12.5k fps) with uint8-128 aug in-step.
+    batch_size = 8 if on_accel else 2
     frames = 160 if on_accel else 16
 
     config = lrs3_config().override(**{"data.batch_size": batch_size})

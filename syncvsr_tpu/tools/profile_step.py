@@ -138,9 +138,15 @@ def capture(workload: str, steps: int = 10) -> str:
     else:
         from syncvsr_tpu.config import lrs3_config
 
+        # mirror bench.py bench_lrs3: bs8 x T=160, uint8 128x128 source
+        # (bs16 crashes the TPU worker — see bench.py)
         config = lrs3_config().override(**{"data.batch_size": 8})
         raw = sentence_batch(config, num_frames=160)
+        rng = np.random.RandomState(0)
+        raw["videos"] = rng.randint(
+            0, 256, (8, 160, 128, 128, 1)).astype(np.uint8)
         init = dict(raw)
+        init["videos"] = jnp.zeros((8, 160, 96, 96, 1), jnp.float32)
         aug = build_sentence_aug(config.data)
 
     model = build_model(config)
