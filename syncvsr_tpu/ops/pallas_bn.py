@@ -200,10 +200,35 @@ def _foldable(x2d: Array) -> bool:
     return f is not None and x2d.shape[0] % f == 0
 
 
+def _lane_fold() -> bool:
+    """Experimental (SYNCVSR_BN_FOLD64=1): narrow-channel (C < 128) stats
+    reductions under-fill the 128-lane registers (C=64 wastes half of every
+    vector op); reshaping adjacent row pairs into the lane dim before the
+    reduction keeps the VPU full. Row-major reshape — free when XLA fuses it
+    into the convert+reduce."""
+    import os
+
+    return bool(os.environ.get("SYNCVSR_BN_FOLD64"))
+
+
+def _folded_sum(x32: Array) -> Array:
+    n, c = x32.shape
+    f = 128 // c
+    return x32.reshape(n // f, 128).sum(0).reshape(f, c).sum(0)
+
+
+def _can_lane_fold(x2d: Array) -> bool:
+    n, c = x2d.shape
+    return (_lane_fold() and c < 128 and 128 % c == 0
+            and n % (128 // c) == 0)
+
+
 def _stats(x2d: Array) -> Tuple[Array, Array]:
     if _use_pallas() and _foldable(x2d):
         return pallas_batch_stats(x2d)
     x32 = x2d.astype(jnp.float32)
+    if _can_lane_fold(x2d):
+        return _folded_sum(x32), _folded_sum(x32 * x32)
     return jnp.sum(x32, 0), jnp.sum(x32 * x32, 0)
 
 
@@ -212,6 +237,8 @@ def _bwd_stats(g2d, x2d, mean, inv):
         return pallas_bn_bwd_stats(g2d, x2d, mean, inv)
     g32 = g2d.astype(jnp.float32)
     xhat = (x2d.astype(jnp.float32) - mean) * inv
+    if _can_lane_fold(g2d):
+        return _folded_sum(g32), _folded_sum(g32 * xhat)
     return jnp.sum(g32, 0), jnp.sum(g32 * xhat, 0)
 
 

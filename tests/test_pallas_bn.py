@@ -151,3 +151,34 @@ def test_subsampled_bn_stats_exact_vjp(monkeypatch):
     full_mean = x.reshape(-1, 5).mean(0)
     np.testing.assert_allclose(np.asarray(mean1), np.asarray(full_mean),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_lane_folded_stats_match(monkeypatch):
+    """SYNCVSR_BN_FOLD64: lane-folded narrow-channel statistics are
+    numerically identical to the straight reduction (fwd stats AND the
+    analytic backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncvsr_tpu.ops.pallas_bn import batch_norm_train
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 6, 8, 64).astype(np.float32))
+    scale = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+
+    def loss(x, scale, bias):
+        y, mean, var = batch_norm_train(x, scale, bias, 1e-5, jnp.float32)
+        return jnp.sum(jnp.sin(y)), (y, mean, var)
+
+    (l0, aux0), g0 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                        has_aux=True)(x, scale, bias)
+    monkeypatch.setenv("SYNCVSR_BN_FOLD64", "1")
+    (l1, aux1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                        has_aux=True)(x, scale, bias)
+    for a, b in zip(aux0, aux1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
