@@ -174,24 +174,30 @@ def _use_pallas() -> bool:
     return bool(os.environ.get("SYNCVSR_BN_PALLAS"))
 
 
-def _stats_stride() -> int:
-    """Experimental (opt-in, SYNCVSR_BN_STATS_STRIDE=s): estimate the batch
-    statistics from a spatial subsample x[..., ::s, ::s, :] instead of the
-    full activation — the forward stats pass reads 1/s^2 of the tensor. With
-    thousands of images per batch the subsampled estimator is still extremely
-    tight; the custom VJP below is the EXACT gradient of the subsampled-stats
-    objective (the correction terms land only on sampled positions, while
-    dscale/dbias stay full exact sums)."""
+def _stats_stride():
+    """Experimental (opt-in, SYNCVSR_BN_STATS_STRIDE=s | "sh"): estimate the
+    batch statistics from a spatial subsample — x[..., ::s, ::s, :] (H and W)
+    or x[..., ::s, :, :] ("h" suffix: H only; W is near-minor in the trunk's
+    physical layout, so striding it fragments the reads — H-only keeps ~49 KB
+    contiguous runs). The forward stats pass reads 1/s^2 (or 1/s) of the
+    tensor. With thousands of images per batch the subsampled estimator is
+    still extremely tight; the custom VJP below is the EXACT gradient of the
+    subsampled-stats objective (correction terms land only on sampled
+    positions, while dscale/dbias stay full exact sums). Returns (sh, sw)."""
     import os
 
-    return max(1, int(os.environ.get("SYNCVSR_BN_STATS_STRIDE", "1")))
+    v = os.environ.get("SYNCVSR_BN_STATS_STRIDE", "1")
+    if v.endswith("h"):
+        return max(1, int(v[:-1])), 1
+    s = max(1, int(v))
+    return s, s
 
 
-def _spatial_subsample(x: Array, s: int) -> Array:
+def _spatial_subsample(x: Array, sh: int, sw: int) -> Array:
     """Stride H and W (the two axes before channels) for ndim >= 4."""
     idx = [slice(None)] * x.ndim
-    idx[-3] = slice(None, None, s)
-    idx[-2] = slice(None, None, s)
+    idx[-3] = slice(None, None, sh)
+    idx[-2] = slice(None, None, sw)
     return x[tuple(idx)]
 
 
@@ -253,9 +259,9 @@ def batch_norm_train(x: Array, scale: Array, bias: Array, eps: float,
 def _bn_fwd_impl(x, scale, bias, eps, dtype):
     shape = x.shape
     c = shape[-1]
-    stride = _stats_stride()
-    if stride > 1 and x.ndim >= 4:
-        xs = _spatial_subsample(x, stride)
+    sh, sw = _stats_stride()
+    if (sh > 1 or sw > 1) and x.ndim >= 4:
+        xs = _spatial_subsample(x, sh, sw)
     else:
         xs = x
     m = xs.size // c
@@ -288,17 +294,17 @@ def _bn_bwd(eps, dtype, res, cts):
     dbias = s1
     scale32 = scale.astype(jnp.float32)
     k = (inv * scale32).astype(dtype)
-    stride = _stats_stride()
-    if stride > 1 and x.ndim >= 4:
+    sh, sw = _stats_stride()
+    if (sh > 1 or sw > 1) and x.ndim >= 4:
         # subsampled statistics: the mean/var gradient flows only through
         # sampled positions, each weighted by 1/m (m = sample count):
         #   dx_j = k*gy_j - 1(j in S) * (k*S1 + inv^2*scale*(x_j-mu)*S2) / m
         # (exact VJP of the subsampled-stats objective; dscale/dbias are
         # full exact sums as in standard BN)
-        m = _spatial_subsample(x, stride).size // c
+        m = _spatial_subsample(x, sh, sw).size // c
         h_idx = jax.lax.broadcasted_iota(jnp.int32, shape, x.ndim - 3)
         w_idx = jax.lax.broadcasted_iota(jnp.int32, shape, x.ndim - 2)
-        mask = ((h_idx % stride == 0) & (w_idx % stride == 0)).astype(dtype)
+        mask = ((h_idx % sh == 0) & (w_idx % sw == 0)).astype(dtype)
     else:
         m = n
         mask = None

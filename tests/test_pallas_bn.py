@@ -182,3 +182,37 @@ def test_lane_folded_stats_match(monkeypatch):
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_subsampled_bn_stats_h_only(monkeypatch):
+    """The "sh" form strides H only; still the exact VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncvsr_tpu.ops.pallas_bn import batch_norm_train
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 3, 6, 8, 5).astype(np.float32))
+    scale = jnp.asarray(rng.rand(5).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(5).astype(np.float32))
+    eps = 1e-5
+
+    def ref_loss(x, scale, bias):
+        xs = x[..., ::2, :, :]
+        m = xs.size // xs.shape[-1]
+        mean = xs.reshape(m, -1).mean(0)
+        var = (xs.reshape(m, -1) ** 2).mean(0) - mean ** 2
+        inv = jax.lax.rsqrt(var + eps)
+        return jnp.sum(jnp.sin((x - mean) * inv * scale + bias))
+
+    def fast_loss(x, scale, bias):
+        y, _, _ = batch_norm_train(x, scale, bias, eps, jnp.float32)
+        return jnp.sum(jnp.sin(y))
+
+    monkeypatch.setenv("SYNCVSR_BN_STATS_STRIDE", "2h")
+    lf, gf = jax.value_and_grad(fast_loss, argnums=(0, 1, 2))(x, scale, bias)
+    lr, gr = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))(x, scale, bias)
+    assert lf == pytest.approx(lr, rel=1e-5)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
