@@ -35,7 +35,8 @@ def make_beam_decoder(model, variables: Dict[str, Any],
                     ) -> Tuple[Array, Array, Array]:
         def decoder_step(y_prev, pos, cache, memory, memory_mask):
             return model.apply(variables, y_prev, pos, cache, memory,
-                               memory_mask, method="decoder_step")
+                               memory_mask, mem_kv=mem_kv,
+                               method="decoder_step")
 
         def init_cache(w, l):
             return model.apply(variables, w, l, method="decoder_init_cache")
@@ -54,6 +55,9 @@ def make_beam_decoder(model, variables: Dict[str, Any],
         flen = model.apply(variables, videos, length[None],
                            method="frame_lengths")[0]
         ctc_logp = model.apply(variables, enc[None], method="ctc_log_probs")[0]
+        # cross-attention K/V over the memory: projected once, not per step
+        mem_kv = model.apply(variables, enc,
+                             method="decoder_precompute_memory")
         return beam_search(decoder_step, init_cache, enc, flen, ctc_logp,
                            vocab, config, max_len=max_len,
                            lm_step=lm_step, lm_init=lm_init)
@@ -78,10 +82,6 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
 
     @jax.jit
     def decode_impl(variables, lm_variables, videos: Array, lengths: Array):
-        def decoder_step(y_prev, pos, cache, memory, memory_mask):
-            return model.apply(variables, y_prev, pos, cache, memory,
-                               memory_mask, method="decoder_step")
-
         def init_cache(w, l):
             return model.apply(variables, w, l, method="decoder_init_cache")
 
@@ -95,6 +95,14 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
                 return lm.apply(lm_variables, w, method="init_cache")
 
         def one(enc, length, ctc_logp):
+            mem_kv = model.apply(variables, enc,
+                                 method="decoder_precompute_memory")
+
+            def decoder_step(y_prev, pos, cache, memory, memory_mask):
+                return model.apply(variables, y_prev, pos, cache, memory,
+                                   memory_mask, mem_kv=mem_kv,
+                                   method="decoder_step")
+
             return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
                                vocab, config, max_len=max_len,
                                lm_step=lm_step, lm_init=lm_init)

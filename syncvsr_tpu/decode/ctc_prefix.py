@@ -61,50 +61,64 @@ class CTCPrefixScorer:
 
         Returns (log_psi [W, P] — absolute prefix scores of the extended
         prefixes; r_new [W, T, 2, P]; r_sum [W, T] for eos handling).
+
+        The label-synchronous DP over frames is a *first-order linear
+        recurrence* in probability space — R_n[t] = X_n[t]*(R_n[t-1] +
+        Phi[t-1]) and R_b[t] = X_b[t]*(R_b[t-1] + R_n[t-1]) with Phi an
+        input — so instead of espnet's sequential frame loop
+        (ctc_prefix_score.py:137-144, ~T tiny ops on the critical path per
+        decode step) both recurrences run as log-depth
+        ``jax.lax.associative_scan`` passes over [T, W, P] slabs, and the
+        prefix score psi is a plain logsumexp reduction. Composition of the
+        affine maps r -> a*r + b in log space: (la, lb) o (la', lb') =
+        (la + la', logaddexp(la + lb', lb)).
         """
         w, p = part_ids.shape
         r_prev = state.r                                     # [W, T, 2]
         r_sum = jnp.logaddexp(r_prev[..., 0], r_prev[..., 1])  # [W, T]
 
-        x_n = jnp.moveaxis(jnp.take(self.x, part_ids, axis=1), 0, 2)  # [W, P, T]
-        # log_phi[w, p, t]: r_sum unless candidate repeats the last token
+        x_n = jnp.take(self.x, part_ids, axis=1)             # [T, W, P]
+        # log_phi[t, w, p]: r_sum unless candidate repeats the last token
         same = part_ids == last_tokens[:, None]              # [W, P]
-        log_phi = jnp.where(same[:, :, None], r_prev[:, None, :, 1],
-                            r_sum[:, None, :])               # [W, P, T]
+        log_phi = jnp.where(same[None], r_prev[..., 1].T[:, :, None],
+                            r_sum.T[:, :, None])             # [T, W, P]
 
         start = jnp.maximum(out_len, 1)
+        ts = jnp.arange(self.T)
+        active = (ts >= start)[:, None, None]                # [T, 1, 1]
 
         # initial row t=0: r_n = x_n[0] iff out_len == 0 (ctc_prefix_score.py:129-130)
-        r_n0 = jnp.where(out_len == 0, x_n[..., 0], LOGZERO)  # [W, P]
-        r_b0 = jnp.full((w, p), LOGZERO, jnp.float32)
-        psi0 = r_n0  # r[start-1, 0] contribution when start == 1
+        r_n0 = jnp.where(out_len == 0, x_n[0], LOGZERO)      # [W, P]
 
-        def step(carry, inp):
-            r_n_prev, r_b_prev, psi = carry
-            t, x_n_t, x_b_t, phi_tm1 = inp                   # [], [W,P], [], [W,P]
-            r_n_t = jnp.logaddexp(r_n_prev, phi_tm1) + x_n_t
-            r_b_t = jnp.logaddexp(r_n_prev, r_b_prev) + x_b_t
-            active = t >= start
-            r_n_t = jnp.where(active, r_n_t, LOGZERO)
-            r_b_t = jnp.where(active, r_b_t, LOGZERO)
-            psi = jnp.logaddexp(psi, jnp.where(active, phi_tm1 + x_n_t, LOGZERO))
-            return (r_n_t, r_b_t, psi), (r_n_t, r_b_t)
+        def compose(lhs, rhs):
+            a1, b1 = lhs
+            a2, b2 = rhs
+            return a2 + a1, jnp.logaddexp(a2 + b1, b2)
 
-        ts = jnp.arange(1, self.T)
-        inputs = (ts,
-                  jnp.moveaxis(x_n[..., 1:], 2, 0),       # [T-1, W, P] x_n at t
-                  self.xb[1:],                            # [T-1] blank at t
-                  jnp.moveaxis(log_phi[..., :-1], 2, 0))  # [T-1, W, P] phi at t-1
-        (_, _, psi), (r_n_rest, r_b_rest) = jax.lax.scan(
-            step, (r_n0, r_b0, psi0), inputs)
+        # r_n: elements t>=1 are (A=x_n[t], B=phi[t-1]+x_n[t]) when active,
+        # (LOGZERO, LOGZERO) otherwise; t=0 is the seed (LOGZERO, r_n0).
+        la_n = jnp.where(active, x_n, LOGZERO).at[0].set(LOGZERO)
+        contrib = jnp.where(active[1:], log_phi[:-1] + x_n[1:], LOGZERO)
+        lb_n = jnp.concatenate([r_n0[None], contrib], axis=0)
+        _, r_n = jax.lax.associative_scan(compose, (la_n, lb_n))  # [T, W, P]
 
-        r_n = jnp.concatenate([r_n0[None], r_n_rest], axis=0)  # [T, W, P]
-        r_b = jnp.concatenate([r_b0[None], r_b_rest], axis=0)
-        r_new = jnp.stack([r_n, r_b], axis=2)                  # [T, W, 2, P]
-        r_new = jnp.moveaxis(r_new, 0, 1)                      # [W, T, 2, P]
+        # r_b: A=x_b[t], B=r_n[t-1]+x_b[t] when active; seed LOGZERO at t=0.
+        xb = self.xb[:, None, None]                          # [T, 1, 1]
+        la_b = jnp.where(active, jnp.broadcast_to(xb, (self.T, w, p)),
+                         LOGZERO).at[0].set(LOGZERO)
+        lb_b = jnp.concatenate(
+            [jnp.full((1, w, p), LOGZERO, jnp.float32),
+             jnp.where(active[1:], r_n[:-1] + xb[1:], LOGZERO)], axis=0)
+        _, r_b = jax.lax.associative_scan(compose, (la_b, lb_b))  # [T, W, P]
+
+        # psi = logaddexp(r_n0, sum_t active phi[t-1]+x_n[t]) — plain reduce
+        psi = jnp.logaddexp(r_n0, jax.nn.logsumexp(contrib, axis=0))
+
+        r_new = jnp.stack([r_n, r_b], axis=2)                # [T, W, 2, P]
+        r_new = jnp.moveaxis(r_new, 0, 1)                    # [W, T, 2, P]
 
         # eos candidates score the whole-prefix probability (line 181-182)
-        eos_psi = r_sum[:, self.end_frame]                     # [W]
+        eos_psi = r_sum[:, self.end_frame]                   # [W]
         log_psi = jnp.where(part_ids == self.eos, eos_psi[:, None], psi)
         log_psi = jnp.where(part_ids == self.blank, LOGZERO, log_psi)
         return log_psi, r_new, r_sum

@@ -65,6 +65,25 @@ class MHA(nn.Module):
         o = dot_attention(q, k, v, bias, 0.0, True, self, self.dtype)
         return self.wo(o)
 
+    def attend_shared(self, q_in: Array, k: Array, v: Array,
+                      keep: Optional[Array]) -> Array:
+        """Single-query attention over K/V shared by every row of q_in
+        (beam search: all W hypotheses attend the same encoder memory, so
+        K/V are stored once as [T, H, Dk] instead of broadcast to [W, ...]).
+        q_in: [W, 1, D]; keep: [T] or [W, T] boolean mask."""
+        q = self.wq(q_in[:, 0])                              # [W, H, Dk]
+        scores = jnp.einsum("whd,khd->whk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+        if keep is not None:
+            neg = jnp.finfo(jnp.float32).min
+            mask = keep if keep.ndim == 2 else keep[None]    # [W|1, T]
+            scores = scores + jnp.where(mask[:, None, :], 0.0, neg)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        o = jnp.einsum("whk,khd->whd", probs, v.astype(self.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        return self.wo(o)[:, None, :]
+
 
 class FF(nn.Module):
     dim: int
@@ -107,8 +126,17 @@ class DecoderLayer(nn.Module):
         return x
 
     def step(self, x: Array, cache: Dict[str, Array], pos: Array, memory: Array,
-             mem_bias: Optional[Array]) -> Tuple[Array, Dict[str, Array]]:
-        """x: [B, 1, D] new token; cache holds self-attn K/V [B, Lmax, H, Dk]."""
+             mem_bias: Optional[Array],
+             mem_kv: Optional[Dict[str, Array]] = None,
+             mem_keep: Optional[Array] = None
+             ) -> Tuple[Array, Dict[str, Array]]:
+        """x: [B, 1, D] new token; cache holds self-attn K/V [B, Lmax, H, Dk].
+
+        With ``mem_kv`` (precomputed {"k","v"} [T, H, Dk] from
+        ``MHA.project_kv`` on the encoder memory) the cross-attention skips
+        the per-step K/V projections — espnet's forward_one_step re-projects
+        the full memory every step (decoder.py:204-227); at beam width W that
+        is 2 x layers x W x T x D^2 MACs/step of pure recompute."""
         h = self.norm1(x)
         k_new, v_new = self.self_attn.project_kv(h)
         k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, pos, axis=1)
@@ -118,7 +146,11 @@ class DecoderLayer(nn.Module):
         valid = jnp.arange(lmax)[None, None, None, :] <= pos
         bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
         x = x + self.self_attn.attend_cached(h, k, v, bias)
-        x = x + self.src_attn(self.norm2(x), memory, mem_bias, True)
+        if mem_kv is not None:
+            x = x + self.src_attn.attend_shared(self.norm2(x), mem_kv["k"],
+                                                mem_kv["v"], mem_keep)
+        else:
+            x = x + self.src_attn(self.norm2(x), memory, mem_bias, True)
         x = x + self.ff(self.norm3(x), True)
         return x, {"k": k, "v": v}
 
@@ -171,8 +203,19 @@ class TransformerDecoder(nn.Module):
             "v": jnp.zeros((batch, max_len, self.heads, d_k), self.dtype),
         } for i in range(self.layers)}
 
+    def precompute_memory(self, memory: Array) -> Dict[str, Dict[str, Array]]:
+        """Project the encoder memory [T, D] (or [B, T, D]) through every
+        layer's cross-attention K/V once; feed the result to ``step`` via
+        ``mem_kv`` so decode steps skip the projections entirely."""
+        out = {}
+        for i, block in enumerate(self.blocks):
+            k, v = block.src_attn.project_kv(memory)
+            out[f"block_{i}"] = {"k": k, "v": v}
+        return out
+
     def step(self, y_prev: Array, pos: Array, cache: Dict, memory: Array,
-             memory_mask: Optional[Array]) -> Tuple[Array, Dict]:
+             memory_mask: Optional[Array],
+             mem_kv: Optional[Dict] = None) -> Tuple[Array, Dict]:
         """One decode step: y_prev [B] token ids at position ``pos`` -> log-probs
         [B, V] for the next token, updated cache."""
         x = self.embed(y_prev[:, None]) * math.sqrt(self.dim)
@@ -185,12 +228,14 @@ class TransformerDecoder(nn.Module):
         x = x + pe.astype(self.dtype)[None, None, :]
 
         mem_bias = None
-        if memory_mask is not None:
+        if memory_mask is not None and mem_kv is None:
             mem_bias = jnp.where(memory_mask[:, None, None, :], 0.0,
                                  jnp.finfo(jnp.float32).min)
         new_cache = {}
         for i, block in enumerate(self.blocks):
             x, new_cache[f"block_{i}"] = block.step(
-                x, cache[f"block_{i}"], pos, memory, mem_bias)
+                x, cache[f"block_{i}"], pos, memory, mem_bias,
+                mem_kv=None if mem_kv is None else mem_kv[f"block_{i}"],
+                mem_keep=memory_mask)
         logits = self.output(self.after_norm(x[:, 0]).astype(jnp.float32))
         return jax.nn.log_softmax(logits, axis=-1), new_cache

@@ -155,5 +155,9 @@ class SentenceVSRModel(nn.Module):
         return self.decoder.init_cache(batch, max_len)
 
     def decoder_step(self, y_prev: Array, pos: Array, cache, memory: Array,
-                     memory_mask: Optional[Array]):
-        return self.decoder.step(y_prev, pos, cache, memory, memory_mask)
+                     memory_mask: Optional[Array], mem_kv=None):
+        return self.decoder.step(y_prev, pos, cache, memory, memory_mask,
+                                 mem_kv=mem_kv)
+
+    def decoder_precompute_memory(self, memory: Array):
+        return self.decoder.precompute_memory(memory)

@@ -229,6 +229,88 @@ def _can_lane_fold(x2d: Array) -> bool:
             and n % (128 // c) == 0)
 
 
+def _stats_phys() -> bool:
+    """Experimental (SYNCVSR_BN_STATS_PHYS=1): reduce the 5D trunk statistics
+    in the activation's PHYSICAL order. The trunk layout is batch-minor —
+    minor-to-major {C, B, W, H, T} (tools/profile_step.py, CLAUDE.md) — so
+    transposing the logical [B,T,H,W,C] to [T,H,W,B,C] and viewing it as
+    [T*H*W, B*C] is layout-preserving: the reduction then walks contiguous
+    memory with a B*C-wide minor (full 128 lanes even at the stem's C=64,
+    which under-fills half of every vector op in the default [N, C] view).
+    The tiny [B, C] -> [C] fold afterwards is free. Whether XLA's layout
+    assignment actually turns the transpose into a bitcast is the A/B
+    question (tools/bench_bn.py ab)."""
+    import os
+
+    return bool(int(os.environ.get("SYNCVSR_BN_STATS_PHYS", "0")))
+
+
+def _phys_view(x: Array) -> Array:
+    b, t, h, w, c = x.shape
+    return jnp.transpose(x, (1, 2, 3, 0, 4)).reshape(t * h * w, b * c)
+
+
+def _phys_stats(x: Array) -> Tuple[Array, Array]:
+    b, c = x.shape[0], x.shape[-1]
+    x32 = _phys_view(x).astype(jnp.float32)
+    s = jnp.sum(x32, 0).reshape(b, c).sum(0)
+    s2 = jnp.sum(x32 * x32, 0).reshape(b, c).sum(0)
+    return s, s2
+
+
+def _phys_bwd_stats(gy: Array, x: Array, mean: Array, inv: Array
+                    ) -> Tuple[Array, Array]:
+    b, c = gy.shape[0], gy.shape[-1]
+    gp = _phys_view(gy).astype(jnp.float32)
+    xp = _phys_view(x).astype(jnp.float32)
+    xhat = (xp - jnp.tile(mean, b)) * jnp.tile(inv, b)
+    s1 = jnp.sum(gp, 0).reshape(b, c).sum(0)
+    s2 = jnp.sum(gp * xhat, 0).reshape(b, c).sum(0)
+    return s1, s2
+
+
+def _stats_mxu() -> bool:
+    """Experimental (SYNCVSR_BN_STATS_MXU=1): compute the statistics as MXU
+    contractions over the activation's native N-D layout instead of VPU
+    reductions over a [N, C] view. sum = ones . x and sumsq = diag(x^T x)
+    via dot_general contracting every leading axis — no reshape, so the
+    batch-minor 5D trunk layout is consumed as-is (the [N, C] view is what
+    forced layout copies in every Pallas stats attempt, CLAUDE.md), and the
+    MXU streams the tensor at full HBM bandwidth regardless of C < 128
+    lane under-fill (the 11 ms stem-BN slab at C=64). The [C, C] Gram matrix
+    wastes C x the reduction FLOPs, which is noise next to the conv FLOPs."""
+    import os
+
+    return bool(int(os.environ.get("SYNCVSR_BN_STATS_MXU", "0")))
+
+
+def _mxu_moments(x: Array) -> Tuple[Array, Array]:
+    """Per-channel f32 (sum, sumsq) over all leading axes of [..., C]."""
+    nd = x.ndim - 1
+    dims = tuple(range(nd))
+    ones = jnp.ones(x.shape[:nd], x.dtype)
+    s = jax.lax.dot_general(ones, x, ((dims, dims), ((), ())),
+                            preferred_element_type=jnp.float32)
+    gram = jax.lax.dot_general(x, x, ((dims, dims), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return s, jnp.diagonal(gram)
+
+
+def _mxu_bwd_stats(gy: Array, x: Array, mean: Array, inv: Array
+                   ) -> Tuple[Array, Array]:
+    """(sum g, sum g*xhat) via contractions: sum g*xhat folds to
+    inv * (diag(g^T x) - mean * sum g), so no xhat tensor is formed."""
+    nd = gy.ndim - 1
+    dims = tuple(range(nd))
+    ones = jnp.ones(gy.shape[:nd], gy.dtype)
+    s1 = jax.lax.dot_general(ones, gy, ((dims, dims), ((), ())),
+                             preferred_element_type=jnp.float32)
+    sgx = jnp.diagonal(
+        jax.lax.dot_general(gy, x, ((dims, dims), ((), ())),
+                            preferred_element_type=jnp.float32))
+    return s1, (sgx - mean * s1) * inv
+
+
 def _stats(x2d: Array) -> Tuple[Array, Array]:
     if _use_pallas() and _foldable(x2d):
         return pallas_batch_stats(x2d)
@@ -265,7 +347,12 @@ def _bn_fwd_impl(x, scale, bias, eps, dtype):
     else:
         xs = x
     m = xs.size // c
-    s, s2 = _stats(xs.reshape(m, c))
+    if _stats_mxu() and xs.ndim >= 2:
+        s, s2 = _mxu_moments(xs)
+    elif _stats_phys() and xs.ndim == 5:
+        s, s2 = _phys_stats(xs)
+    else:
+        s, s2 = _stats(xs.reshape(m, c))
     mean = s / m
     var = jnp.maximum(s2 / m - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
@@ -287,9 +374,12 @@ def _bn_bwd(eps, dtype, res, cts):
     shape = x.shape
     c = shape[-1]
     n = x.size // c
-    g2d = gy.reshape(n, c)
-    x2d = x.reshape(n, c)
-    s1, s2 = _bwd_stats(g2d, x2d, mean, inv)
+    if _stats_mxu() and x.ndim >= 2:
+        s1, s2 = _mxu_bwd_stats(gy.reshape(shape), x, mean, inv)
+    elif _stats_phys() and x.ndim == 5:
+        s1, s2 = _phys_bwd_stats(gy.reshape(shape), x, mean, inv)
+    else:
+        s1, s2 = _bwd_stats(gy.reshape(n, c), x.reshape(n, c), mean, inv)
     dscale = s2
     dbias = s1
     scale32 = scale.astype(jnp.float32)

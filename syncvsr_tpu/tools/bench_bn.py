@@ -128,11 +128,98 @@ def bench_step(fast: bool):
                       "frames_per_sec": round(batch_size * 29 * n / dt, 1)}))
 
 
+_AB_ENVS = {
+    "default": {},
+    "2h": {"SYNCVSR_BN_STATS_STRIDE": "2h"},
+    "2": {"SYNCVSR_BN_STATS_STRIDE": "2"},
+    "phys": {"SYNCVSR_BN_STATS_PHYS": "1"},
+    "mxu": {"SYNCVSR_BN_STATS_MXU": "1"},
+    "fold64": {"SYNCVSR_BN_FOLD64": "1"},
+}
+
+_AB_ALL_KEYS = sorted({k for env in _AB_ENVS.values() for k in env})
+
+
+def bench_ab(workload: str, variants: list[str]):
+    """Time the full train step under several BN-stats levers in ONE process
+    (each relay session costs ~80 s startup; the env levers are read at trace
+    time, so re-building the step after setting os.environ recompiles with
+    the variant active).
+
+    Usage: python -m syncvsr_tpu.tools.bench_bn ab lrs3|lrw default,2h,phys
+    """
+    import os
+
+    from syncvsr_tpu.engine import build_train_step, create_train_state
+    from syncvsr_tpu.models import build_model
+    from syncvsr_tpu.data.synthetic import sentence_batch, word_batch
+
+    rng = np.random.RandomState(0)
+    if workload == "lrs3":
+        from syncvsr_tpu.config import lrs3_config
+        from syncvsr_tpu.ops.image import build_sentence_aug
+
+        bs, frames = 8, 160
+        config = lrs3_config().override(**{"data.batch_size": bs})
+        raw = sentence_batch(config, bs, num_frames=frames, label_len=48)
+        raw["videos"] = rng.randint(0, 256, (bs, frames, 128, 128, 1)
+                                    ).astype(np.uint8)
+        init = dict(raw)
+        h = config.data.crop_size
+        init["videos"] = jnp.zeros((bs, frames, h, h, 1), jnp.float32)
+        aug = build_sentence_aug(config.data)
+    else:
+        from syncvsr_tpu.config import lrw_video_config
+        from syncvsr_tpu.ops.image import build_word_aug
+
+        bs, frames = 96, 29
+        config = lrw_video_config().override(**{"data.batch_size": bs})
+        raw = word_batch(config, bs)
+        h = config.data.crop_size
+        raw["inputs"] = rng.randint(
+            0, 256, (bs, frames, h, int(h * 112 / 96), 1)).astype(np.uint8)
+        init = dict(raw)
+        init["inputs"] = jnp.zeros((bs, frames, h, h, 1), jnp.float32)
+        aug = build_word_aug(config.data)
+
+    model = build_model(config)
+    device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(config.train.scoped_vmem_kib)}
+            if config.train.scoped_vmem_kib
+            and jax.default_backend() != "cpu" else None)
+
+    for variant in variants:
+        for k in _AB_ALL_KEYS:
+            os.environ.pop(k, None)
+        os.environ.update(_AB_ENVS[variant])
+        state = create_train_state(
+            config, model, {k: jnp.asarray(v) for k, v in init.items()})
+        step = build_train_step(mesh=None, donate=True, aug_fn=aug,
+                                compiler_options=opts)
+        for _ in range(3):
+            state, metrics = step(state, device_batch)
+        float(metrics["loss"])
+        n, dt = 10, float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, metrics = step(state, device_batch)
+            float(metrics["loss"])
+            dt = min(dt, time.perf_counter() - t0)
+        print(json.dumps({"workload": workload, "variant": variant,
+                          "ms_per_step": round(dt / n * 1e3, 2),
+                          "frames_per_sec": round(bs * frames * n / dt, 1)}),
+              flush=True)
+        del state, step
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "micro"
     if mode == "micro":
         bench_micro()
     elif mode == "step":
         bench_step(fast=len(sys.argv) > 2 and sys.argv[2] == "fast")
+    elif mode == "ab":
+        bench_ab(sys.argv[2], sys.argv[3].split(","))
     else:
         raise SystemExit(f"unknown mode {mode}")

@@ -184,6 +184,37 @@ def test_lane_folded_stats_match(monkeypatch):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_mxu_stats_match(monkeypatch):
+    """SYNCVSR_BN_STATS_MXU: dot_general-contraction statistics (ones . x,
+    diag(x^T x)) are numerically equivalent to the straight reductions, fwd
+    stats AND the analytic backward."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncvsr_tpu.ops.pallas_bn import batch_norm_train
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(3, 4, 6, 5, 64).astype(np.float32))
+    scale = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+
+    def loss(x, scale, bias):
+        y, mean, var = batch_norm_train(x, scale, bias, 1e-5, jnp.float32)
+        return jnp.sum(jnp.sin(y)), (y, mean, var)
+
+    (l0, aux0), g0 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                        has_aux=True)(x, scale, bias)
+    monkeypatch.setenv("SYNCVSR_BN_STATS_MXU", "1")
+    (l1, aux1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                        has_aux=True)(x, scale, bias)
+    for a, b in zip(aux0, aux1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-3)
+
+
 def test_subsampled_bn_stats_h_only(monkeypatch):
     """The "sh" form strides H only; still the exact VJP."""
     import jax
