@@ -67,7 +67,11 @@ class Conv3DResNetFrontend(nn.Module):
         x = _bn(train, self.dtype, "stem_bn")(x)
         x = activation(self.stem_act)(x)
         # MaxPool3D (1,3,3) stride (1,2,2) pad (0,1,1) (time never pooled)
-        if fold:
+        from syncvsr_tpu.ops.maxpool import max_pool_s2, use_recompute_maxpool
+
+        if use_recompute_maxpool():
+            x = max_pool_s2(x)  # recomputed bwd instead of select-and-scatter
+        elif fold:
             x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         else:
             x = nn.max_pool(x, (1, 3, 3), (1, 2, 2),

@@ -135,6 +135,7 @@ _AB_ENVS = {
     "phys": {"SYNCVSR_BN_STATS_PHYS": "1"},
     "mxu": {"SYNCVSR_BN_STATS_MXU": "1"},
     "fold64": {"SYNCVSR_BN_FOLD64": "1"},
+    "mpr": {"SYNCVSR_MAXPOOL_RECOMPUTE": "1"},
 }
 
 _AB_ALL_KEYS = sorted({k for env in _AB_ENVS.values() for k in env})

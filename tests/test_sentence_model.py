@@ -136,6 +136,39 @@ def test_decoder_step_matches_teacher_forced():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_decoder_step_mem_kv_matches_projected():
+    """Precomputed cross-attention K/V (the beam-search fast path) must give
+    the same step log-probs as per-step projection over broadcast memory."""
+    config = tiny_sentence_config()
+    model = build_model(config)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(config, b=2, t=6).items()}
+    state = create_train_state(config, model, batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    enc = model.apply(variables, batch["videos"], batch["lengths"], det=True,
+                      method="encode")
+    from syncvsr_tpu.ops.masking import length_mask
+    enc0 = enc[0]                                      # [T, D] one utterance
+    w = 3                                              # "beam" rows
+    mem = jnp.broadcast_to(enc0[None], (w,) + enc0.shape)
+    keep = length_mask(batch["lengths"][:1], enc.shape[1])[0]
+    keep_w = jnp.broadcast_to(keep[None], (w, keep.shape[0]))
+
+    mem_kv = model.apply(variables, enc0, method="decoder_precompute_memory")
+    ys = jnp.asarray([[12, 3, 4], [12, 5, 6], [12, 7, 8]]).T  # [pos, w]
+    cache_a = model.apply(variables, w, 8, method="decoder_init_cache")
+    cache_b = model.apply(variables, w, 8, method="decoder_init_cache")
+    for pos in range(3):
+        logp_a, cache_a = model.apply(variables, ys[pos], jnp.asarray(pos),
+                                      cache_a, mem, keep_w,
+                                      method="decoder_step")
+        logp_b, cache_b = model.apply(variables, ys[pos], jnp.asarray(pos),
+                                      cache_b, mem, keep_w, mem_kv=mem_kv,
+                                      method="decoder_step")
+        np.testing.assert_allclose(np.asarray(logp_b), np.asarray(logp_a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_sentence_train_step(mesh8):
     config = tiny_sentence_config()
     model = build_model(config)
