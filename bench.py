@@ -168,5 +168,41 @@ def main():
     bench_lrw(on_accel)  # headline metric: keep last
 
 
+def _run_isolated(workload: str, on_accel: bool, timeout_s: int) -> bool:
+    """Run one workload in a subprocess so a TPU-relay fault (OOM/wedge)
+    in one bench cannot take down the other — the lrw line must stay last
+    on stdout (the driver's tail parse is the headline metric)."""
+    import subprocess
+    import sys
+
+    code = (f"import bench; bench.bench_{workload}({on_accel})")
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=timeout_s, cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            print(f"# bench {workload}: timeout after {timeout_s}s "
+                  f"(attempt {attempt + 1})", flush=True)
+            continue
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            print(line, flush=True)
+            return True
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+        print(f"# bench {workload} failed (attempt {attempt + 1}, "
+              f"rc {proc.returncode}): " + " | ".join(tail), flush=True)
+    return False
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SYNCVSR_BENCH_INPROC"):
+        main()  # debugging: single process, no isolation
+    else:
+        platform = jax.devices()[0].platform
+        on_accel = platform in ("tpu", "axon")
+        # generous timeouts: relay startup + first compile can take 20+ min
+        # on a sick relay (observed 2026-08-17)
+        _run_isolated("lrs3", on_accel, timeout_s=2700)
+        _run_isolated("lrw", on_accel, timeout_s=2700)
