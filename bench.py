@@ -168,14 +168,19 @@ def main():
     bench_lrw(on_accel)  # headline metric: keep last
 
 
-def _run_isolated(workload: str, on_accel: bool, timeout_s: int) -> bool:
+def _run_isolated(workload: str, timeout_s: int) -> bool:
     """Run one workload in a subprocess so a TPU-relay fault (OOM/wedge)
     in one bench cannot take down the other — the lrw line must stay last
-    on stdout (the driver's tail parse is the headline metric)."""
+    on stdout (the driver's tail parse is the headline metric). The child
+    probes the platform itself: the parent must NOT touch jax.devices()
+    (on real TPU that takes exclusive per-process chip access and every
+    child would fail; on the axon relay it would hold a session idle)."""
     import subprocess
     import sys
 
-    code = (f"import bench; bench.bench_{workload}({on_accel})")
+    code = ("import jax, bench; "
+            "bench.bench_%s(jax.devices()[0].platform in ('tpu', 'axon'))"
+            % workload)
     for attempt in range(2):
         try:
             proc = subprocess.run(
@@ -187,7 +192,10 @@ def _run_isolated(workload: str, on_accel: bool, timeout_s: int) -> bool:
             continue
         line = next((ln for ln in proc.stdout.splitlines()
                      if ln.startswith("{")), None)
-        if proc.returncode == 0 and line:
+        if line:
+            # keep a completed measurement even if teardown crashed the
+            # child afterwards (relay faults around session end are a
+            # documented mode)
             print(line, flush=True)
             return True
         tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
@@ -197,12 +205,10 @@ def _run_isolated(workload: str, on_accel: bool, timeout_s: int) -> bool:
 
 
 if __name__ == "__main__":
-    if os.environ.get("SYNCVSR_BENCH_INPROC"):
+    if bool(int(os.environ.get("SYNCVSR_BENCH_INPROC", "0"))):
         main()  # debugging: single process, no isolation
     else:
-        platform = jax.devices()[0].platform
-        on_accel = platform in ("tpu", "axon")
         # generous timeouts: relay startup + first compile can take 20+ min
         # on a sick relay (observed 2026-08-17)
-        _run_isolated("lrs3", on_accel, timeout_s=2700)
-        _run_isolated("lrw", on_accel, timeout_s=2700)
+        _run_isolated("lrs3", timeout_s=2700)
+        _run_isolated("lrw", timeout_s=2700)

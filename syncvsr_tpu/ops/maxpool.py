@@ -13,11 +13,15 @@ elementwise pass reading x once, instead of XLA's windowed scatter.
 
 Tie semantics differ from select-and-scatter (which routes each window's
 gradient to the FIRST maximal element): on exact ties the equality test
-routes the gradient to EVERY maximal element of the window. Float activations
-tie rarely (bf16 rounding makes it possible), the training effect is nil, but
-exact-parity tests must use distinct values. Opt-in via
-SYNCVSR_MAXPOOL_RECOMPUTE=1 until the full-step A/B says it wins
-(tools/bench_bn.py ab <wl> default,mpr).
+routes the FULL window gradient to EVERY maximal element — k-way ties
+amplify that window's gradient k-fold rather than redistributing it. Float
+activations tie rarely (bf16 rounding makes it possible), the training
+effect is nil, but exact-parity tests must use distinct values.
+
+MEASURED AND CLOSED: the full-step A/B (tools/bench_bn.py ab lrw
+default,mpr, v5e) read 144.9 vs 99.8 ms/step — the dilation pads/shifts do
+not fuse on the batch-minor trunk layout, so select-and-scatter stays the
+default and SYNCVSR_MAXPOOL_RECOMPUTE=1 remains a documented dead end.
 """
 
 from __future__ import annotations

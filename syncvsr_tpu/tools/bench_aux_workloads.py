@@ -11,9 +11,7 @@ from __future__ import annotations
 import json
 import time
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from syncvsr_tpu.engine import build_train_step, create_train_state
 from syncvsr_tpu.models import build_model

@@ -22,7 +22,6 @@ import numpy as np
 
 def _timeit(fn, *args, iters=3):
     out = fn(*args)
-    jax.tree_util.tree_map(lambda x: None, out)
     sync = lambda o: float(np.asarray(jax.tree_util.tree_leaves(o)[0]).reshape(-1)[0])
     sync(out)
     t0 = time.perf_counter()
@@ -125,7 +124,7 @@ def main(t_enc=500, beam=40, n_steps=50, vocab=5049):
         def body(i, acc):
             t = total + acc
             _, part = jax.lax.top_k(t, p)
-            sc, flat = jax.lax.top_k(t.reshape(-1), 2 * beam)
+            sc, _ = jax.lax.top_k(t.reshape(-1), 2 * beam)
             return acc + sc[0] * 1e-9 + part[0, 0] * 1e-12
         return jax.lax.fori_loop(0, n_steps, body, 0.0)
 

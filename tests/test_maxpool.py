@@ -34,17 +34,24 @@ def test_maxpool_matches_select_and_scatter(shape):
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
 
 
-def test_maxpool_tie_splitting():
-    # constant window: select-and-scatter routes each window's gradient to
-    # one position; the recomputed backward splits it across every maximum.
-    # Total gradient mass per window is conserved either way.
-    x = jnp.ones((1, 8, 8, 1), jnp.float32)
+def test_maxpool_tie_semantics():
+    # constant input: every position ties in every window it belongs to.
+    # select-and-scatter routes each window's gradient to ONE position
+    # (mass conserved: sum == #windows); the recomputed backward routes the
+    # FULL window gradient to EVERY tying position, so dx[p] == the number
+    # of 3x3/s2 windows covering p (mass amplified, NOT conserved).
+    h = 8
+    x = jnp.ones((1, h, h, 1), jnp.float32)
     g0 = jax.grad(lambda v: jnp.sum(_ref(v)))(x)
     g1 = jax.grad(lambda v: jnp.sum(max_pool_s2(v)))(x)
-    assert float(jnp.sum(g0)) == float(jnp.sum(_ref(x)).item())  # 16 windows
-    # recompute assigns every covering window to every (tying) position
-    assert float(jnp.max(g1)) >= float(jnp.max(g0))
-    assert g1.shape == g0.shape
+    n_windows = (h // 2) ** 2
+    assert float(jnp.sum(g0)) == n_windows
+    # expected recompute routing: count of window centers (2i, 2j) with
+    # chebyshev distance <= 1 from each position
+    centers = 2 * np.arange(h // 2)
+    count1d = np.array([(np.abs(centers - i) <= 1).sum() for i in range(h)])
+    expected = np.outer(count1d, count1d).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(g1)[0, :, :, 0], expected)
 
 
 def test_frontend_env_wiring(monkeypatch):
@@ -64,13 +71,19 @@ def test_frontend_env_wiring(monkeypatch):
         {"params": jax.random.PRNGKey(0)},
         **{k: jnp.asarray(v) for k, v in batch.items()}, det=True)
 
-    def loss():
-        out = model.apply(variables,
-                          **{k: jnp.asarray(v) for k, v in batch.items()},
+    def loss_fn(v):
+        out = model.apply(v, **{k: jnp.asarray(x) for k, x in batch.items()},
                           det=True)
-        return float(out["loss"])
+        return out["loss"]
 
-    base = loss()
+    def grad_ops():
+        jaxpr = jax.make_jaxpr(jax.grad(loss_fn))(variables)
+        return str(jaxpr)
+
+    base = float(loss_fn(variables))
+    assert "select_and_scatter" in grad_ops()  # default: XLA maxpool bwd
     monkeypatch.setenv("SYNCVSR_MAXPOOL_RECOMPUTE", "1")
     jax.clear_caches()
-    assert loss() == pytest.approx(base, rel=1e-5)
+    # the lever must actually reroute the backward, and keep the forward
+    assert "select_and_scatter" not in grad_ops()
+    assert float(loss_fn(variables)) == pytest.approx(base, rel=1e-5)
