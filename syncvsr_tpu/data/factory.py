@@ -186,20 +186,34 @@ class LRSBucketLoader:
                 train=shuffle, noise=noise,
                 snr_target=config.data.snr_target,
                 seed=config.train.seed + (0 if shuffle else 10_000))
-        self.ds = LRSDataset(files, self.tt, codec=config.model.codec.name,
-                             audio_alignment=config.model.codec.audio_alignment,
-                             max_frames=max_frames,
-                             length_distribution=length_dist,
-                             modality=config.data.modality,
-                             audio_transform=audio_transform)
-        # ground truth for the schedule: per-clip frame counts (sidecar .npy,
-        # built once by scanning the pkls, cached next to the split)
-        from syncvsr_tpu.data.lrs import load_length_index
+        if config.data.packed:
+            # packed blob + index (tools/pack_dataset.py --task sentence):
+            # the index's per-clip frame counts are the schedule ground truth
+            from syncvsr_tpu.data.packed_lrs import PackedLRSDataset
 
-        self.lengths = (load_length_index(
-            config.data.root, config.data.dataset.upper(), split, files,
-            num_threads=_num_threads(config)) if files
-            else np.zeros((0,), np.int32))
+            self.ds = PackedLRSDataset(
+                os.path.join(config.data.root, config.data.dataset.upper()),
+                split, self.tt, codec=config.model.codec.name,
+                audio_alignment=config.model.codec.audio_alignment,
+                max_frames=max_frames, length_distribution=length_dist,
+                modality=config.data.modality,
+                audio_transform=audio_transform)
+            self.lengths = self.ds.lengths
+        else:
+            self.ds = LRSDataset(files, self.tt, codec=config.model.codec.name,
+                                 audio_alignment=config.model.codec.audio_alignment,
+                                 max_frames=max_frames,
+                                 length_distribution=length_dist,
+                                 modality=config.data.modality,
+                                 audio_transform=audio_transform)
+            # ground truth for the schedule: per-clip frame counts (sidecar
+            # .npz, built once by scanning the pkls, cached next to the split)
+            from syncvsr_tpu.data.lrs import load_length_index
+
+            self.lengths = (load_length_index(
+                config.data.root, config.data.dataset.upper(), split, files,
+                num_threads=_num_threads(config)) if files
+                else np.zeros((0,), np.int32))
         self.shuffle = shuffle
         self.split = split
         self.batch_size = (config.data.batch_size if shuffle

@@ -68,7 +68,12 @@ class LRSDataset:
         return start, wlen
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        data = _torch_load(self.filenames[index])
+        return self._sample_from(_torch_load(self.filenames[index]), index)
+
+    def _sample_from(self, data: Dict, index: int) -> Dict[str, np.ndarray]:
+        """Shared sample construction: windowing, transcript re-selection,
+        token slicing, modality routing. ``data`` follows the pkl contract;
+        PackedLRSDataset reconstructs an equivalent dict from the blob."""
         jpegs = data["video"]
         text = data.get("text") or data.get("label") or ""
         t = len(jpegs)
