@@ -81,7 +81,90 @@ def bench(root: str, threads: int, batch_size: int = 96,
             "batch_shape": list(first["inputs"].shape)}
 
 
+def make_lrs_tree(root: Path, n_clips: int, tmin: int = 40, tmax: int = 200,
+                  size=(128, 128), seed: int = 0) -> int:
+    """Synthetic LRS3 pkl tree at preprocessing geometry (128x128 face-crop
+    JPEGs + bundled waveform + vq tokens, tools/prepare_lrs.py)."""
+    import cv2
+    import torch
+
+    rng = np.random.RandomState(seed)
+    d = root / "LRS3" / "train" / "spk0"
+    d.mkdir(parents=True, exist_ok=True)
+    base = cv2.GaussianBlur(rng.randint(0, 256, size, np.uint8), (0, 0), 3)
+    for i in range(n_clips):
+        t = int(rng.randint(tmin, tmax + 1))
+        jpgs = []
+        for _ in range(t):
+            img = np.clip(base.astype(np.int16)
+                          + rng.randint(-20, 20, size), 0, 255).astype(np.uint8)
+            jpgs.append(cv2.imencode(".jpg", img)[1].tobytes())
+        torch.save({
+            "video": jpgs,
+            "text": "hello world " * int(rng.randint(1, 8)),
+            "audio": (rng.randn(t * 640) * 3000).astype(np.int16),
+            "vq_tokens": torch.tensor(rng.randint(0, 320, (1, t * 4 + 4, 2))),
+        }, d / f"clip{i:05d}.pkl")
+    return n_clips
+
+
+def bench_sentence(root: str, threads: int, packed: bool = False,
+                   max_frames_read: int = 20_000) -> dict:
+    from syncvsr_tpu.config import lrs3_config
+    from syncvsr_tpu.data.factory import LRSBucketLoader
+    from syncvsr_tpu.data.jpeg import native_available
+
+    config = lrs3_config().override(**{
+        "data.root": root, "data.dataset": "lrs3", "data.batch_size": 8,
+        "data.num_workers": threads, "data.packed": packed,
+        "data.length_buckets": [80, 160, 200]})
+    loader = LRSBucketLoader(config, "train", True)
+    frames = 0
+    it = iter(loader)
+    next(it)  # warm: schedule + native lib + prefetch window
+    t0 = time.perf_counter()
+    for batch in it:
+        frames += int(batch["lengths"].sum())
+        if frames >= max_frames_read:
+            break
+    dt = time.perf_counter() - t0
+    return {"threads": threads, "packed": packed,
+            "frames_per_sec": round(frames / dt, 1) if frames else 0.0,
+            "native_decoder": native_available()}
+
+
+def main_sentence(n_clips: int, threads):
+    tmp = Path(tempfile.mkdtemp(prefix="bench_loader_lrs_"))
+    packed_dir = Path(tempfile.mkdtemp(prefix="bench_loader_lrs_packed_"))
+    try:
+        t0 = time.perf_counter()
+        make_lrs_tree(tmp, n_clips)
+        gen_s = time.perf_counter() - t0
+        from syncvsr_tpu.data.packed_lrs import pack_lrs_split
+
+        pack_lrs_split(str(tmp), "LRS3", "train", str(packed_dir / "LRS3"))
+        results = [bench_sentence(str(tmp), t) for t in threads]
+        results += [bench_sentence(str(packed_dir), t, packed=True)
+                    for t in threads]
+        print(json.dumps({
+            "task": "sentence", "n_clips": n_clips,
+            "tree_gen_s": round(gen_s, 1),
+            "host_cpus": __import__("os").cpu_count(),
+            # chip consumption: lrs3 bench 12.5k frames/s/chip (bs8 x T160)
+            "required_frames_per_sec_per_chip": 12_500,
+            "results": results,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(packed_dir, ignore_errors=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "sentence":
+        main_sentence(int(sys.argv[2]) if len(sys.argv) > 2 else 96,
+                      [int(t) for t in sys.argv[3].split(",")]
+                      if len(sys.argv) > 3 else [1, 4, 8])
+        return
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     threads = ([int(t) for t in sys.argv[2].split(",")]
                if len(sys.argv) > 2 else [1, 4, 8])
