@@ -139,6 +139,17 @@ class PackedLRSDataset(LRSDataset):
                          length_distribution=length_distribution,
                          modality=modality, audio_transform=audio_transform)
         idx_path = os.path.join(packed_dir, f"{split}.npz")
+        if not os.path.exists(idx_path):
+            # match the pkl path's missing-split semantics (empty glob ->
+            # empty dataset) so e.g. a packed train-only tree still builds
+            # the factory's val loader
+            self.lengths = np.zeros((0,), np.int32)
+            self.clip_ofs = np.zeros((1,), np.int64)
+            self.wav_blob = None
+            if modality == "audio":
+                raise ValueError(
+                    f"data.modality=audio but no packed index at {idx_path}")
+            return
         idx = np.load(idx_path)
         packed_codec = str(idx["codec"])
         if packed_codec != codec:

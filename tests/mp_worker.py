@@ -69,7 +69,8 @@ def word_mode(pid: int, nproc: int, coord: str):
     print(f"MP_RESULT pid={pid} loss={loss:.6f} loss2={loss2:.6f}", flush=True)
 
 
-def sentence_mode(pid: int, nproc: int, coord: str, root: str):
+def sentence_mode(pid: int, nproc: int, coord: str, root: str,
+                  packed: bool = False):
     _init(pid, nproc, coord)
 
     import jax
@@ -94,6 +95,7 @@ def sentence_mode(pid: int, nproc: int, coord: str, root: str):
         "model.frontend.stem_channels": 8, "model.frontend.resnet_width": 8,
         "model.frontend.out_dim": 16,
         "data.dataset": "lrs3", "data.root": root, "data.crop_size": 16,
+        "data.packed": packed,
         "data.batch_size": 8, "data.length_buckets": [16, 32],
         "optim.total_steps": 100, "optim.warmup_steps": 2})
 
@@ -129,7 +131,8 @@ def main():
     coord = sys.argv[3]
     mode = sys.argv[4] if len(sys.argv) > 4 else "word"
     if mode == "sentence":
-        sentence_mode(pid, nproc, coord, sys.argv[5])
+        sentence_mode(pid, nproc, coord, sys.argv[5],
+                      packed=len(sys.argv) > 6 and sys.argv[6] == "packed")
     else:
         word_mode(pid, nproc, coord)
 

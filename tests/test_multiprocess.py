@@ -58,11 +58,7 @@ def test_two_process_train_step(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_sentence_buckets(tmp_path):
-    """LRS bucket batching in lockstep across 2 hosts: both processes build
-    the schedule from the shared length index, emit identical bucket shapes
-    at every step, and see identical replicated losses (reference multi-node
-    LRS training, LRS/video/config/lrs3.yaml:93-95)."""
+def _make_sentence_tree(tmp_path):
     import cv2
     import torch
 
@@ -86,8 +82,10 @@ def test_two_process_sentence_buckets(tmp_path):
                     "vq_tokens": torch.tensor(
                         rng.randint(0, 11, (1, t * 4 + 4, 2)))},
                    d / f"clip{i:02d}.pkl")
+    return str(tmp_path / "data")
 
-    outs = _spawn(["sentence", str(tmp_path / "data")])
+
+def _assert_lockstep(outs):
     shapes = sorted(l for out in outs for l in out.splitlines()
                     if l.startswith("MP_SHAPES"))
     assert len(shapes) == 2, outs
@@ -98,3 +96,25 @@ def test_two_process_sentence_buckets(tmp_path):
     assert len(results) == 2, outs
     losses = sorted(r.split("losses=")[1] for r in results)
     assert losses[0] == losses[1], results
+
+
+def test_two_process_sentence_buckets(tmp_path):
+    """LRS bucket batching in lockstep across 2 hosts: both processes build
+    the schedule from the shared length index, emit identical bucket shapes
+    at every step, and see identical replicated losses (reference multi-node
+    LRS training, LRS/video/config/lrs3.yaml:93-95)."""
+    root = _make_sentence_tree(tmp_path)
+    _assert_lockstep(_spawn(["sentence", root]))
+
+
+@pytest.mark.slow
+def test_two_process_sentence_buckets_packed(tmp_path):
+    """Same lockstep guarantee from the packed blob: the schedule lengths
+    come from the packed index (no sidecar scan), and both hosts read their
+    strided slice of each scheduled batch from the mmap."""
+    root = _make_sentence_tree(tmp_path)
+    from syncvsr_tpu.data.packed_lrs import pack_lrs_split
+
+    packed_root = tmp_path / "packed"
+    pack_lrs_split(root, "LRS3", "train", str(packed_root / "LRS3"))
+    _assert_lockstep(_spawn(["sentence", str(packed_root), "packed"]))
