@@ -158,7 +158,6 @@ class LRSBucketLoader:
 
         self.config = config
         self.tt = build_text_transform(config.data.spm_vocab)
-        files = glob_lrs_files(config.data.root, config.data.dataset.upper(), split)
         length_dist = None
         if shuffle and config.data.length_distribution:
             ld_path = config.data.length_distribution
@@ -200,6 +199,8 @@ class LRSBucketLoader:
                 audio_transform=audio_transform)
             self.lengths = self.ds.lengths
         else:
+            files = glob_lrs_files(config.data.root,
+                                   config.data.dataset.upper(), split)
             self.ds = LRSDataset(files, self.tt, codec=config.model.codec.name,
                                  audio_alignment=config.model.codec.audio_alignment,
                                  max_frames=max_frames,

@@ -32,6 +32,39 @@ from syncvsr_tpu.data.lrw import (
 )
 
 
+def frame_blob_bounds(frame_sizes: np.ndarray):
+    """Per-frame [start, end) byte offsets from the packed frame sizes."""
+    ends = np.cumsum(frame_sizes)
+    return ends - frame_sizes, ends
+
+
+def read_frame_bytes(blob, starts, ends, f0: int, f1: int) -> List[bytes]:
+    return [blob[starts[f]:ends[f]].tobytes() for f in range(f0, f1)]
+
+
+def check_packed_codec(idx, codec: Optional[str], split: str, hint: str):
+    if codec is not None and "codec" in idx:
+        packed_codec = str(idx["codec"])
+        if packed_codec != codec:
+            raise ValueError(
+                f"packed split {split!r} holds {packed_codec!r} tokens but "
+                f"model.codec.name={codec!r}; re-run {hint} with the "
+                "matching codec")
+
+
+def check_blob_size(path: str, expected, what: str):
+    """The index is the commit point of a pack (written atomically last); a
+    blob whose size disagrees is a half-written or stale re-pack — fail
+    loudly instead of slicing garbage offsets."""
+    if expected is None:
+        return
+    actual = os.path.getsize(path)
+    if actual != int(expected):
+        raise ValueError(
+            f"{what} is {actual} bytes but its index records {int(expected)}"
+            " — interrupted or mismatched pack; re-run the pack tool")
+
+
 def pack_lrw_split(root: str, split: str, out_dir: str, codec: str = "vq",
                    audio_root: Optional[str] = None,
                    durations_df=None) -> str:
@@ -100,15 +133,9 @@ class PackedLRWDataset:
     def __init__(self, packed_dir: str, split: str, use_word_boundary: bool = True,
                  codec: Optional[str] = None):
         idx = np.load(os.path.join(packed_dir, f"{split}.npz"))
-        if codec is not None and "codec" in idx:
-            packed_codec = str(idx["codec"])
-            if packed_codec != codec:
-                raise ValueError(
-                    f"packed split {split!r} holds {packed_codec!r} tokens "
-                    f"but model.codec.name={codec!r}; re-run "
-                    "tools/pack_dataset.py with the matching codec")
-        self.frame_ends = np.cumsum(idx["frame_sizes"])
-        self.frame_starts = self.frame_ends - idx["frame_sizes"]
+        check_packed_codec(idx, codec, split, "tools/pack_dataset.py")
+        self.frame_starts, self.frame_ends = frame_blob_bounds(
+            idx["frame_sizes"])
         self.clip_ofs = idx["clip_ofs"]
         self.tokens = idx["tokens"]
         self.tok_ofs = idx["tok_ofs"]
@@ -124,8 +151,8 @@ class PackedLRWDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         f0, f1 = int(self.clip_ofs[index]), int(self.clip_ofs[index + 1])
-        jpegs = [self.blob[self.frame_starts[f]:self.frame_ends[f]].tobytes()
-                 for f in range(f0, f1)]
+        jpegs = read_frame_bytes(self.blob, self.frame_starts,
+                                 self.frame_ends, f0, f1)
         video = decode_clip(jpegs)
         t = video.shape[0]
         sample = {

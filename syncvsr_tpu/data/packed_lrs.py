@@ -76,6 +76,11 @@ def pack_lrs_split(root: str, dataset: str, split: str, out_dir: str,
                 tok = np.asarray(tok).squeeze()
                 if tok.ndim == 1:
                     tok = tok[:, None]
+                if groups and tok.shape[1] != groups:
+                    raise ValueError(
+                        f"{path}: {tok.shape[1]} token groups, but earlier "
+                        f"clips in this split have {groups} — mixed-width "
+                        "token pkls cannot be packed")
                 groups = tok.shape[1]
             tok_chunks.append(tok.astype(np.int32))
             tok_ofs.append(tok_ofs[-1] + tok.shape[0])
@@ -102,11 +107,18 @@ def pack_lrs_split(root: str, dataset: str, split: str, out_dir: str,
         os.remove(wav_path)
 
     groups = max(groups, 1)
+    # only zero-width placeholders (clips without tokens seen before the
+    # first token-bearing clip fixed `groups`) ever need re-widening; real
+    # token chunks are width-checked at read time above
     tok_chunks = [t if t.shape[1] == groups
-                  else np.zeros((t.shape[0], groups), np.int32)
+                  else np.zeros((0, groups), np.int32)
                   for t in tok_chunks]
+    # the npz is the pack's atomic commit point: blobs are complete before
+    # it lands (os.replace), and their byte sizes are recorded so a stale
+    # or interrupted re-pack fails loudly at load (check_blob_size)
+    tmp_npz = os.path.join(out_dir, f"{split}.tmp.npz")
     np.savez(
-        os.path.join(out_dir, f"{split}.npz"),
+        tmp_npz,
         frame_sizes=np.asarray(frame_sizes, np.int64),
         clip_ofs=np.asarray(clip_ofs, np.int64),
         tokens=(np.concatenate(tok_chunks, axis=0) if tok_chunks
@@ -120,7 +132,10 @@ def pack_lrs_split(root: str, dataset: str, split: str, out_dir: str,
         word_starts=np.asarray(word_starts, np.float64),
         word_ends=np.asarray(word_ends, np.float64),
         codec=np.asarray(codec),
+        bin_bytes=np.int64(os.path.getsize(bin_path)),
+        wav_bytes=np.int64(os.path.getsize(wav_path) if have_audio else 0),
     )
+    os.replace(tmp_npz, os.path.join(out_dir, f"{split}.npz"))
     return bin_path
 
 
@@ -138,27 +153,26 @@ class PackedLRSDataset(LRSDataset):
                          max_frames=max_frames,
                          length_distribution=length_distribution,
                          modality=modality, audio_transform=audio_transform)
+        from syncvsr_tpu.data.packed import (
+            check_blob_size,
+            check_packed_codec,
+            frame_blob_bounds,
+        )
+
         idx_path = os.path.join(packed_dir, f"{split}.npz")
         if not os.path.exists(idx_path):
             # match the pkl path's missing-split semantics (empty glob ->
             # empty dataset) so e.g. a packed train-only tree still builds
-            # the factory's val loader
+            # the factory's val loader, for either modality
             self.lengths = np.zeros((0,), np.int32)
             self.clip_ofs = np.zeros((1,), np.int64)
             self.wav_blob = None
-            if modality == "audio":
-                raise ValueError(
-                    f"data.modality=audio but no packed index at {idx_path}")
             return
         idx = np.load(idx_path)
-        packed_codec = str(idx["codec"])
-        if packed_codec != codec:
-            raise ValueError(
-                f"packed split {split!r} holds {packed_codec!r} tokens but "
-                f"model.codec.name={codec!r}; re-run tools/pack_dataset.py "
-                "--task sentence with the matching codec")
-        self.frame_ends = np.cumsum(idx["frame_sizes"])
-        self.frame_starts = self.frame_ends - idx["frame_sizes"]
+        check_packed_codec(idx, codec, split,
+                           "tools/pack_dataset.py --task sentence")
+        self.frame_starts, self.frame_ends = frame_blob_bounds(
+            idx["frame_sizes"])
         self.clip_ofs = idx["clip_ofs"]
         self.tokens_arr = idx["tokens"]
         self.tok_ofs = idx["tok_ofs"]
@@ -169,11 +183,19 @@ class PackedLRSDataset(LRSDataset):
         self.words_all = [str(s) for s in idx["words"]]
         self.word_starts_arr = idx["word_starts"]
         self.word_ends_arr = idx["word_ends"]
-        self.blob = np.memmap(os.path.join(packed_dir, f"{split}.bin"),
-                              dtype=np.uint8, mode="r")
+        bin_path = os.path.join(packed_dir, f"{split}.bin")
+        check_blob_size(bin_path,
+                        idx["bin_bytes"] if "bin_bytes" in idx else None,
+                        f"{split}.bin")
+        self.blob = np.memmap(bin_path, dtype=np.uint8, mode="r")
         wav_path = os.path.join(packed_dir, f"{split}.wav.bin")
-        self.wav_blob = (np.memmap(wav_path, dtype=np.float32, mode="r")
-                         if os.path.exists(wav_path) else None)
+        if os.path.exists(wav_path):
+            check_blob_size(wav_path,
+                            idx["wav_bytes"] if "wav_bytes" in idx else None,
+                            f"{split}.wav.bin")
+            self.wav_blob = np.memmap(wav_path, dtype=np.float32, mode="r")
+        else:
+            self.wav_blob = None
         if modality == "audio" and self.wav_blob is None:
             raise ValueError(
                 f"data.modality=audio but {split!r} was packed without "
@@ -183,10 +205,12 @@ class PackedLRSDataset(LRSDataset):
         return len(self.lengths)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        from syncvsr_tpu.data.packed import read_frame_bytes
+
         f0, f1 = int(self.clip_ofs[index]), int(self.clip_ofs[index + 1])
         data: Dict = {
-            "video": [self.blob[self.frame_starts[f]:self.frame_ends[f]]
-                      .tobytes() for f in range(f0, f1)],
+            "video": read_frame_bytes(self.blob, self.frame_starts,
+                                      self.frame_ends, f0, f1),
             "text": self.texts[index],
         }
         t0, t1 = int(self.tok_ofs[index]), int(self.tok_ofs[index + 1])
@@ -194,7 +218,11 @@ class PackedLRSDataset(LRSDataset):
             data[f"{self.codec}_tokens"] = self.tokens_arr[t0:t1]
         if self.wav_blob is not None:
             w0, w1 = int(self.wav_ofs[index]), int(self.wav_ofs[index + 1])
-            data["audio"] = np.asarray(self.wav_blob[w0:w1])
+            if w1 > w0:
+                data["audio"] = np.asarray(self.wav_blob[w0:w1])
+            # w1 == w0: this clip's pkl had no audio (mixed split) — omit
+            # the key so audio-modality reads fail loudly (KeyError), like
+            # the pkl reader, instead of feeding a silent empty waveform
         g0, g1 = int(self.word_ofs[index]), int(self.word_ofs[index + 1])
         if g1 > g0:
             data["words"] = self.words_all[g0:g1]

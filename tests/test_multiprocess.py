@@ -57,7 +57,6 @@ def test_two_process_train_step(tmp_path):
     assert losses[0] == losses[1], results
 
 
-@pytest.mark.slow
 def _make_sentence_tree(tmp_path):
     import cv2
     import torch
@@ -98,6 +97,7 @@ def _assert_lockstep(outs):
     assert losses[0] == losses[1], results
 
 
+@pytest.mark.slow
 def test_two_process_sentence_buckets(tmp_path):
     """LRS bucket batching in lockstep across 2 hosts: both processes build
     the schedule from the shared length index, emit identical bucket shapes

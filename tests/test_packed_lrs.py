@@ -64,6 +64,44 @@ def test_packed_codec_guard(tmp_path):
                          codec="wav2vec2")
 
 
+def test_packed_blob_size_guard(tmp_path):
+    """A blob whose size disagrees with the index (interrupted or stale
+    re-pack) must fail loudly at load, not slice garbage offsets."""
+    from syncvsr_tpu.data.packed_lrs import PackedLRSDataset
+    from syncvsr_tpu.data.tokenizer import TextTransform
+
+    root = _make_audio_lrs_tree(tmp_path, [8])
+    out = _pack(root, tmp_path / "packed", splits=("train",))
+    with open(f"{out}/LRS3/train.bin", "ab") as f:
+        f.write(b"xx")
+    with pytest.raises(ValueError, match="interrupted or mismatched pack"):
+        PackedLRSDataset(f"{out}/LRS3", "train", TextTransform())
+
+
+def test_packed_mixed_audio_fails_loudly(tmp_path):
+    """Clips packed without audio in a mixed split must raise (KeyError,
+    like the pkl reader) under modality=audio — never feed a silent empty
+    waveform row."""
+    import torch
+
+    from syncvsr_tpu.data.packed_lrs import PackedLRSDataset, pack_lrs_split
+    from syncvsr_tpu.data.tokenizer import TextTransform
+
+    root = _make_audio_lrs_tree(tmp_path, [8, 10])
+    # strip the audio key from one clip
+    d = tmp_path / "data" / "LRS3" / "train" / "spk0"
+    p = sorted(d.glob("*.pkl"))[1]
+    data = torch.load(p, weights_only=False)
+    del data["audio"]
+    torch.save(data, p)
+    pack_lrs_split(str(root), "LRS3", "train", str(tmp_path / "p" / "LRS3"))
+    pds = PackedLRSDataset(str(tmp_path / "p" / "LRS3"), "train",
+                           TextTransform(), modality="audio")
+    _ = pds[0]  # has audio: fine
+    with pytest.raises(KeyError):
+        pds[1]
+
+
 def test_packed_loader_matches_unpacked(tmp_path):
     """The bucket loader must yield identical batches from packed and pkl
     sources (same schedule, same collate) for both splits."""
