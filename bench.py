@@ -1,29 +1,54 @@
-"""Benchmarks: train-step throughput for the two flagship workloads.
+"""Benchmarks: train-step throughput for all four benchmarked workloads.
 
-Prints one JSON line per workload (video frames/sec/chip):
-  1. lrs3 sentence-level — Conformer 12L x 768d + CTC + attention decoder +
-     sync head, bs 16 x T=160 bucket, bf16, aug in-step (the workload the
-     reference trained on TPU pods: LRS/video/config/lrs3.yaml).
-  2. lrw word-level — Conv3D+ResNet-18 frontend, 12L x 512d transformer,
+Prints one JSON line per workload (video frames/sec/chip), in this order:
+  1. lrw_landmark — the reference's own TPU stack (LRW/landmark), bs 1024.
+  2. lrs3_audio — Conv1D-ResNet frontend over raw waveform, bs 32 x T=160.
+  3. lrs3 sentence-level — Conformer 12L x 768d + CTC + attention decoder +
+     sync head, bs 8 x T=160 bucket, bf16, aug in-step (bs 16 deterministically
+     crashes the TPU worker at these shapes — see CLAUDE.md round-3 notes and
+     bench_lrs3 below; the reference's global bs 16 is split across chips).
+  4. lrw word-level — Conv3D+ResNet-18 frontend, 12L x 512d transformer,
      word-CE + lambda*sync, bs 96, bf16, fused on-device augmentation.
 The LRW line is printed LAST (the driver's tail parse keeps it as the
 headline metric).
 
-The reference publishes no throughput numbers (SURVEY.md §6), so vs_baseline
-compares against the previous round's recorded value when BENCH_BASELINE.json
-(lrw) / BENCH_BASELINE_LRS3.json (lrs3) exist, else 1.0.
+Relay-proofing (round-4): the parent process never imports jax. Each
+workload runs in a subprocess that probes the backend under a watchdog —
+a hung relay costs ~3 min, not the driver's whole budget — and the parent
+enforces a global wall budget (SYNCVSR_BENCH_BUDGET_S, default 2100 s).
+The headline workload runs FIRST (so a mid-run budget exhaustion can't
+starve it) but its line is printed last.
+
+The reference publishes no throughput numbers (SURVEY.md §6), so
+vs_baseline compares against the previous round's recorded value when the
+per-workload BENCH_BASELINE*.json exists, else 1.0.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+# Child exit codes the parent interprets (distinct from generic failures).
+_RC_INIT_ERROR = 3   # backend init raised (e.g. relay UNAVAILABLE)
+_RC_PROBE_HANG = 7   # backend init hung past the watchdog
 
+_PROBE_TIMEOUT_S = float(os.environ.get("SYNCVSR_BENCH_PROBE_S", "180"))
+
+# Run order: headline first (never starved by budget), cheap aux last.
+_RUN_ORDER = ("lrw", "lrs3", "landmark", "audio")
+# Print order: headline LAST (driver tail-parses the final JSON line).
+_PRINT_ORDER = ("landmark", "audio", "lrs3", "lrw")
+# Per-workload attempt caps (healthy-relay first compile is 2-5 min).
+_CAPS = {"lrw": 1500, "lrs3": 1200, "landmark": 600, "audio": 600}
+
+
+# ---------------------------------------------------------------------------
+# Workload bodies (run inside the child subprocess only)
+# ---------------------------------------------------------------------------
 
 def _timed_fps(step, state, device_batch, frames_per_batch: int,
                n_steps: int = 10, reps: int = 2) -> float:
@@ -54,7 +79,20 @@ def _vs(value: float, baseline_file: str) -> float:
     return 1.0
 
 
+def _emit(metric: str, fps: float, baseline_file: str) -> None:
+    print(json.dumps({
+        "metric": metric,
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": _vs(fps, baseline_file),
+    }), flush=True)
+
+
 def bench_lrw(on_accel: bool) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from syncvsr_tpu.config import lrw_video_config
     from syncvsr_tpu.data.synthetic import word_batch
     from syncvsr_tpu.engine import build_train_step, create_train_state
@@ -96,16 +134,15 @@ def bench_lrw(on_accel: bool) -> None:
                             compiler_options=opts)
     device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
     fps = _timed_fps(step, state, device_batch, batch_size * frames)
-
-    print(json.dumps({
-        "metric": "lrw_video_train_frames_per_sec_per_chip",
-        "value": round(fps, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": _vs(fps, "BENCH_BASELINE.json"),
-    }))
+    _emit("lrw_video_train_frames_per_sec_per_chip", fps,
+          "BENCH_BASELINE.json")
 
 
 def bench_lrs3(on_accel: bool) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from syncvsr_tpu.config import lrs3_config
     from syncvsr_tpu.data.synthetic import sentence_batch
     from syncvsr_tpu.engine import build_train_step, create_train_state
@@ -152,63 +189,184 @@ def bench_lrs3(on_accel: bool) -> None:
                             compiler_options=opts)
     device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
     fps = _timed_fps(step, state, device_batch, batch_size * frames)
-
-    print(json.dumps({
-        "metric": "lrs3_sentence_train_frames_per_sec_per_chip",
-        "value": round(fps, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": _vs(fps, "BENCH_BASELINE_LRS3.json"),
-    }))
+    _emit("lrs3_sentence_train_frames_per_sec_per_chip", fps,
+          "BENCH_BASELINE_LRS3.json")
 
 
-def main():
-    platform = jax.devices()[0].platform
-    on_accel = platform in ("tpu", "axon")
-    bench_lrs3(on_accel)
-    bench_lrw(on_accel)  # headline metric: keep last
+def bench_landmark(on_accel: bool) -> None:
+    """LRW landmark stack (the reference's own TPU workload, LRW/landmark):
+    8L x 320d transformer over 1434-dim landmark features, bs 1024."""
+    import jax.numpy as jnp
+
+    from syncvsr_tpu.config import lrw_landmark_config
+    from syncvsr_tpu.data.synthetic import word_batch
+    from syncvsr_tpu.engine import build_train_step, create_train_state
+    from syncvsr_tpu.models import build_model
+
+    batch_size = 1024 if on_accel else 8
+    config = lrw_landmark_config().override(**{"data.batch_size": batch_size})
+    if not on_accel:
+        config = config.override(**{
+            "model.encoder.layers": 2, "model.encoder.dim": 64,
+            "model.encoder.heads": 2})
+    model = build_model(config)
+    raw = word_batch(config, batch_size)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    state = create_train_state(config, model, batch)
+    step = build_train_step(mesh=None, donate=True)
+    fps = _timed_fps(step, state, batch, batch_size * raw["inputs"].shape[1])
+    _emit("lrw_landmark_train_frames_per_sec_per_chip", fps,
+          "BENCH_BASELINE_LANDMARK.json")
 
 
-def _run_isolated(workload: str, timeout_s: int) -> bool:
-    """Run one workload in a subprocess so a TPU-relay fault (OOM/wedge)
-    in one bench cannot take down the other — the lrw line must stay last
-    on stdout (the driver's tail parse is the headline metric). The child
-    probes the platform itself: the parent must NOT touch jax.devices()
-    (on real TPU that takes exclusive per-process chip access and every
-    child would fail; on the axon relay it would hold a session idle)."""
-    import subprocess
-    import sys
+def bench_audio(on_accel: bool) -> None:
+    """LRS3 audio modality (lrs3.yaml audio_backbone): Conv1D-ResNet frontend
+    over raw 16 kHz waveform + the same conformer/decoder/loss, bs 32 x T=160
+    video-equivalent frames."""
+    import jax.numpy as jnp
 
-    code = ("import jax, bench; "
-            "bench.bench_%s(jax.devices()[0].platform in ('tpu', 'axon'))"
-            % workload)
-    for attempt in range(2):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=timeout_s, cwd=os.path.dirname(os.path.abspath(__file__)))
-        except subprocess.TimeoutExpired:
-            print(f"# bench {workload}: timeout after {timeout_s}s "
-                  f"(attempt {attempt + 1})", flush=True)
+    from syncvsr_tpu.config import lrs3_audio_config
+    from syncvsr_tpu.data.synthetic import sentence_batch
+    from syncvsr_tpu.engine import build_train_step, create_train_state
+    from syncvsr_tpu.models import build_model
+
+    batch_size = 32 if on_accel else 2
+    frames = 160 if on_accel else 16
+    config = lrs3_audio_config().override(**{"data.batch_size": batch_size})
+    if not on_accel:
+        config = config.override(**{
+            "model.encoder.layers": 2, "model.encoder.dim": 64,
+            "model.encoder.heads": 2, "model.decoder.layers": 1,
+            "model.decoder.dim": 64, "model.decoder.heads": 2,
+            "model.decoder.hidden": 128, "model.labels": 101})
+    model = build_model(config)
+    raw = sentence_batch(config, batch_size, num_frames=frames, label_len=48)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    state = create_train_state(config, model, batch)
+    step = build_train_step(mesh=None, donate=True)
+    fps = _timed_fps(step, state, batch, batch_size * frames)
+    _emit("lrs3_audio_train_frames_per_sec_per_chip", fps,
+          "BENCH_BASELINE_AUDIO.json")
+
+
+_WORKLOADS = {"lrw": bench_lrw, "lrs3": bench_lrs3,
+              "landmark": bench_landmark, "audio": bench_audio}
+
+
+# ---------------------------------------------------------------------------
+# Child: probe the backend under a watchdog, then run one workload
+# ---------------------------------------------------------------------------
+
+def _child(workload: str) -> None:
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(_PROBE_TIMEOUT_S):
+            sys.stderr.write(
+                f"backend probe hung >{_PROBE_TIMEOUT_S:.0f}s "
+                "(relay wedged)\n")
+            sys.stderr.flush()
+            os._exit(_RC_PROBE_HANG)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        import jax
+        platform = jax.devices()[0].platform
+    except Exception as e:
+        sys.stderr.write(f"backend init failed: {type(e).__name__}: {e}\n")
+        sys.stderr.flush()
+        os._exit(_RC_INIT_ERROR)
+    done.set()
+    _WORKLOADS[workload](platform in ("tpu", "axon"))
+
+
+# ---------------------------------------------------------------------------
+# Parent: stdlib only — budget, isolation, ordering
+# ---------------------------------------------------------------------------
+
+def _run_child(workload: str, timeout_s: float):
+    """Returns (json_line_or_None, status) where status is one of
+    ok | init-error | probe-hang | timeout | error."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", workload],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    line = next((ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")), None)
+    if line:
+        # keep a completed measurement even if teardown crashed the child
+        # afterwards (relay faults around session end are a documented mode)
+        return line, "ok"
+    if proc.returncode == _RC_INIT_ERROR:
+        return None, "init-error"
+    if proc.returncode == _RC_PROBE_HANG:
+        return None, "probe-hang"
+    tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+    print(f"# bench {workload} failed (rc {proc.returncode}): "
+          + " | ".join(tail), flush=True)
+    return None, "error"
+
+
+def main() -> None:
+    budget_s = float(os.environ.get("SYNCVSR_BENCH_BUDGET_S", "2100"))
+    deadline = time.monotonic() + budget_s
+    results: dict = {}
+    relay_dead = False
+    init_retry_used = False
+
+    for wl in _RUN_ORDER:
+        if relay_dead:
+            print(f"# bench {wl}: skipped (relay unavailable)", flush=True)
             continue
-        line = next((ln for ln in proc.stdout.splitlines()
-                     if ln.startswith("{")), None)
-        if line:
-            # keep a completed measurement even if teardown crashed the
-            # child afterwards (relay faults around session end are a
-            # documented mode)
-            print(line, flush=True)
-            return True
-        tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
-        print(f"# bench {workload} failed (attempt {attempt + 1}, "
-              f"rc {proc.returncode}): " + " | ".join(tail), flush=True)
-    return False
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining < 150:
+                print(f"# bench {wl}: skipped (budget exhausted, "
+                      f"{max(remaining, 0):.0f}s left)", flush=True)
+                break
+            timeout_s = min(_CAPS[wl], remaining - 15)
+            t0 = time.monotonic()
+            line, status = _run_child(wl, timeout_s)
+            took = time.monotonic() - t0
+            if status == "ok":
+                results[wl] = line
+                print(f"# bench {wl}: ok in {took:.0f}s", flush=True)
+                break
+            print(f"# bench {wl}: {status} after {took:.0f}s "
+                  f"(timeout was {timeout_s:.0f}s)", flush=True)
+            if status == "probe-hang":
+                relay_dead = True  # a wedged probe never recovers in-budget
+                break
+            if status == "init-error" and not init_retry_used:
+                init_retry_used = True  # one transient UNAVAILABLE is known
+                time.sleep(min(30, max(0, deadline - time.monotonic() - 150)))
+                continue
+            if status == "init-error":
+                relay_dead = True  # persistent init failure: relay is down
+                break
+            break  # timeout / error: move on, budget check gates the rest
+
+    for wl in _PRINT_ORDER:
+        if wl in results:
+            print(results[wl], flush=True)
+    if not results:
+        print("# bench: no measurements (relay unavailable or budget "
+              "exhausted before any workload completed)", flush=True)
 
 
 if __name__ == "__main__":
-    if bool(int(os.environ.get("SYNCVSR_BENCH_INPROC", "0"))):
-        main()  # debugging: single process, no isolation
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        _child(sys.argv[2])
+    elif bool(int(os.environ.get("SYNCVSR_BENCH_INPROC", "0"))):
+        # debugging: single process, no isolation/watchdog
+        import jax
+        on_accel = jax.devices()[0].platform in ("tpu", "axon")
+        for wl in _PRINT_ORDER:
+            _WORKLOADS[wl](on_accel)
     else:
-        # generous timeouts: relay startup + first compile can take 20+ min
-        # on a sick relay (observed 2026-08-17)
-        _run_isolated("lrs3", timeout_s=2700)
-        _run_isolated("lrw", timeout_s=2700)
+        main()
