@@ -234,7 +234,9 @@ class BucketBatcher:
         count 640 per frame; JPEG clips count directly. Buckets are always in
         frames so both modalities share the schedule."""
         n = int(sample["lengths"])
-        return n // 640 if sample["videos"].ndim == 1 else n
+        # ceil: a waveform a few samples short of frames*640 must still bucket
+        # with its video-frame count, matching the length-index schedule
+        return -(-n // 640) if sample["videos"].ndim == 1 else n
 
     def add(self, sample: Dict[str, np.ndarray]):
         b = bucket_for_length(self.frames_of(sample), self.buckets)

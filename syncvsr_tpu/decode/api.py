@@ -33,6 +33,15 @@ def make_beam_decoder(model, variables: Dict[str, Any],
     @jax.jit
     def decode_impl(variables, lm_variables, videos: Array, length: Array
                     ) -> Tuple[Array, Array, Array]:
+        enc = model.apply(variables, videos, length[None], det=True,
+                          method="encode")[0]              # [T, D]
+        flen = model.apply(variables, videos, length[None],
+                           method="frame_lengths")[0]
+        ctc_logp = model.apply(variables, enc[None], method="ctc_log_probs")[0]
+        # cross-attention K/V over the memory: projected once, not per step
+        mem_kv = model.apply(variables, enc,
+                             method="decoder_precompute_memory")
+
         def decoder_step(y_prev, pos, cache, memory, memory_mask):
             return model.apply(variables, y_prev, pos, cache, memory,
                                memory_mask, mem_kv=mem_kv,
@@ -50,14 +59,6 @@ def make_beam_decoder(model, variables: Dict[str, Any],
             def lm_init(w):
                 return lm.apply(lm_variables, w, method="init_cache")
 
-        enc = model.apply(variables, videos, length[None], det=True,
-                          method="encode")[0]              # [T, D]
-        flen = model.apply(variables, videos, length[None],
-                           method="frame_lengths")[0]
-        ctc_logp = model.apply(variables, enc[None], method="ctc_log_probs")[0]
-        # cross-attention K/V over the memory: projected once, not per step
-        mem_kv = model.apply(variables, enc,
-                             method="decoder_precompute_memory")
         return beam_search(decoder_step, init_cache, enc, flen, ctc_logp,
                            vocab, config, max_len=max_len,
                            lm_step=lm_step, lm_init=lm_init)

@@ -33,6 +33,13 @@ class BeamSearchConfig:
     lm_weight: float = 0.0
     penalty: float = 0.0
     blank: int = 0
+    # espnet BeamSearch length-ratio knobs (beam_search.py:330-360): when
+    # maxlenratio > 0 the decode loop runs floor(maxlenratio * valid_frames)
+    # steps instead of max_len; minlenratio blocks eos (except at the forced
+    # final step) until floor(minlenratio * valid_frames) tokens are emitted.
+    # The published configs use 0.0 / 0.0 — the defaults here.
+    maxlenratio: float = 0.0
+    minlenratio: float = 0.0
     # sos = eos = vocab - 1 set at call time
 
     @property
@@ -75,6 +82,18 @@ def beam_search(
     w_dec = 1.0 - config.ctc_weight
     w_ctc = config.ctc_weight
 
+    # Effective length bounds (espnet beam_search.py:330-360). The loop bound
+    # stays static at max_len; maxlenratio only tightens the *dynamic* stop
+    # (floor(ratio * valid_frames), clamped to the compiled bound).
+    if config.maxlenratio > 0.0:
+        eff_maxlen = jnp.clip(
+            (config.maxlenratio * memory_length).astype(jnp.int32),
+            1, max_len)
+    else:
+        eff_maxlen = jnp.int32(max_len)
+    eff_minlen = ((config.minlenratio * memory_length).astype(jnp.int32)
+                  if config.minlenratio > 0.0 else jnp.int32(0))
+
     scorer = CTCPrefixScorer(ctc_log_probs, memory_length, config.blank, eos)
 
     mem = jnp.broadcast_to(memory[None], (w,) + memory.shape)
@@ -115,10 +134,16 @@ def beam_search(
         weighted = weighted.at[jnp.arange(w)[:, None], part_ids].add(inc)
 
         total = weighted + state.alive_score[:, None]     # [W, V]
-        # final step: only eos extensions allowed
-        is_last = i == max_len - 1
+        # final step: only eos extensions allowed (>= so steps past a dynamic
+        # eff_maxlen stay eos-only even on the static fori path)
+        is_last = i >= eff_maxlen - 1
         eos_only = jnp.full((vocab,), LOGZERO).at[eos].set(0.0)
         total = jnp.where(is_last, total + eos_only[None, :], total)
+        if config.minlenratio > 0.0:
+            # block eos until eff_minlen tokens emitted (forced final step wins)
+            eos_ok = is_last | ((i + 1) >= eff_minlen)
+            total = total.at[:, eos].set(
+                jnp.where(eos_ok, total[:, eos], LOGZERO))
 
         flat = total.reshape(-1)
         cand_score, cand_flat = jax.lax.top_k(flat, 2 * w)
@@ -164,11 +189,15 @@ def beam_search(
     # max_len ~ T frames, so this usually cuts the sequential decode loop by
     # an order of magnitude. Positive length bonus breaks monotonicity; fall
     # back to the full loop there.
-    if early_exit and config.penalty <= 0.0 and config.lm_weight >= 0.0:
+    use_early = early_exit and config.penalty <= 0.0 and config.lm_weight >= 0.0
+    if use_early or config.maxlenratio > 0.0:
         def cond(carry):
             i, state = carry
-            return (i < max_len) & (jnp.max(state.alive_score)
-                                    > jnp.max(state.fin_score))
+            go = i < eff_maxlen
+            if use_early:
+                go = go & (jnp.max(state.alive_score)
+                           > jnp.max(state.fin_score))
+            return go
 
         def body(carry):
             i, state = carry

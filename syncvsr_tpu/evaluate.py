@@ -64,11 +64,20 @@ def main():
     # lm/transformer.py, lm/default.py); lm_ckpt may be our msgpack or an
     # espnet torch checkpoint (converted on load)
     lm_kind = str(overrides.pop("lm_kind", "transformer"))
-    # LM shape (reference lrs3.yaml language_model: 16L, att 512, 8 heads,
-    # unit 2048, embed 128; for lm_kind=rnn pass lm_layers/lm_dim/lm_embed_dim)
-    lm_shape = {k: int(overrides.pop(f"lm_{k}", d)) for k, d in
-                (("layers", 16), ("dim", 512), ("heads", 8),
-                 ("hidden", 2048), ("embed_dim", 128))}
+    # LM shape defaults per kind: transformer follows the reference
+    # lrs3.yaml language_model (16L, att 512, 8 heads, unit 2048, embed 128);
+    # rnn follows espnet lm/default.py's RNNLM defaults (2 layers x 650 units,
+    # embedding = unit width). Override with lm_layers=/lm_dim=/...
+    lm_defaults = (
+        (("layers", 2), ("dim", 650), ("heads", 1),
+         ("hidden", 650), ("embed_dim", 650)) if lm_kind == "rnn" else
+        (("layers", 16), ("dim", 512), ("heads", 8),
+         ("hidden", 2048), ("embed_dim", 128)))
+    lm_shape = {k: int(overrides.pop(f"lm_{k}", d)) for k, d in lm_defaults}
+    # espnet BeamSearch length-ratio knobs (beam_search.py:330-360);
+    # the published configs use 0.0/0.0
+    maxlenratio = float(overrides.pop("maxlenratio", 0.0))
+    minlenratio = float(overrides.pop("minlenratio", 0.0))
     config = (PRESETS[preset]() if preset else Config()).override(**overrides)
     split = config.data.split or "test"
 
@@ -140,15 +149,33 @@ def main():
                        dim=lm_shape["dim"], embed_dim=lm_shape["embed_dim"])
         else:
             lm = TransformerLM(vocab=config.model.labels, **lm_shape)
-        if lm_ckpt.endswith(".msgpack"):
+        # sniff the checkpoint format by content, not extension: a converted
+        # msgpack saved under any other name must not fall through to
+        # torch.load and die with a confusing unpickling error
+        lm_payload = None
+        try:
             lm_payload = ckpt.load_msgpack(lm_ckpt)
+        except Exception:
+            if lm_ckpt.endswith(".msgpack"):
+                raise  # named msgpack but unreadable: surface the real error
+        if lm_payload is not None:
+            pre = lm_payload.get("params", lm_payload)
+            if lm_kind != "rnn" and not any(
+                    "input_norm" in k for k in ckpt.flatten(pre)):
+                # checkpoints predating TransformerLM's input_norm load via
+                # partial_load (fresh identity LayerNorm fills the gap), but
+                # the ReLU added alongside it still changes the function the
+                # checkpoint was trained with — don't re-score silently
+                print("[lm] WARNING: LM checkpoint has no input_norm subtree "
+                      "(predates the espnet embed LayerNorm+ReLU); its fusion "
+                      "scores will differ from training time — re-convert or "
+                      "re-train the LM.", file=sys.stderr)
             # merge onto a fresh init (partial_load): checkpoints predating
-            # an architecture addition (e.g. the espnet input_norm) still
-            # load instead of raising on the missing subtree
+            # an architecture addition still load instead of raising on the
+            # missing subtree
             lm_init = lm.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 4), jnp.int32))["params"]
-            lm_params, _ = ckpt.partial_load(
-                lm_init, lm_payload.get("params", lm_payload))
+            lm_params, _ = ckpt.partial_load(lm_init, pre)
             lm_variables = {"params": lm_params}
         else:
             # espnet-trained torch LM: convert layouts + names on load
@@ -168,7 +195,8 @@ def main():
             model, variables,
             BeamSearchConfig(beam_size=beam_size,
                              ctc_weight=config.model.mtlalpha,
-                             lm_weight=lm_weight, penalty=penalty),
+                             lm_weight=lm_weight, penalty=penalty,
+                             maxlenratio=maxlenratio, minlenratio=minlenratio),
             lm=lm, lm_variables=lm_variables)
         for batch in eval_loader:
             batch = eval_transform(batch)
@@ -184,7 +212,9 @@ def main():
         # test set reuses ONE compiled program (padding is masked by lengths)
         bs_config = BeamSearchConfig(beam_size=beam_size,
                                      ctc_weight=config.model.mtlalpha,
-                                     lm_weight=lm_weight, penalty=penalty)
+                                     lm_weight=lm_weight, penalty=penalty,
+                                     maxlenratio=maxlenratio,
+                                     minlenratio=minlenratio)
         from syncvsr_tpu.data.lrs import bucket_for_length
 
         t_max = bucket_for_length(config.data.max_frames_val,

@@ -261,3 +261,74 @@ def test_early_exit_matches_full_loop():
     assert int(len_e) == int(len_f)
     np.testing.assert_array_equal(np.asarray(toks_e), np.asarray(toks_f))
     np.testing.assert_allclose(float(score_e), float(score_f), rtol=1e-6)
+
+
+def test_length_ratio_knobs_match_exhaustive():
+    """maxlenratio/minlenratio (espnet beam_search.py:330-360) bound the
+    hypothesis length exactly: the beam's best equals exhaustive search
+    restricted to the same length window; ratio 0 (and a ratio that clips to
+    the compiled bound) reproduce the unconstrained result."""
+    rng = np.random.RandomState(3)
+    vocab, t_max = 5, 6
+    blank, eos = 0, vocab - 1
+    ctc_weight = 0.3
+    max_len = 4
+
+    ctc_logp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.randn(t_max, vocab).astype(np.float32) * 2), axis=-1))
+    table = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.randn(vocab, vocab).astype(np.float32) * 2), axis=-1))
+
+    def decoder_step(last, pos, cache, mem, mem_mask):
+        return jnp.asarray(table)[last], cache
+
+    def init_cache(w, l):
+        return {"dummy": jnp.zeros((w, 1))}
+
+    def run(maxlenratio=0.0, minlenratio=0.0):
+        cfg = BeamSearchConfig(beam_size=25, ctc_weight=ctc_weight,
+                               maxlenratio=maxlenratio,
+                               minlenratio=minlenratio)
+        toks, n, score = jax.jit(lambda m: beam_search(
+            decoder_step, init_cache, m, jnp.asarray(t_max),
+            jnp.asarray(ctc_logp), vocab, cfg,
+            max_len=max_len))(jnp.zeros((t_max, 4)))
+        return [int(x) for x in np.asarray(toks)[: int(n)]], float(score)
+
+    def dec_score(seq):
+        s, last = 0.0, eos
+        for tok in seq:
+            s += table[last, tok]
+            last = tok
+        return s + table[last, eos]
+
+    def brute(n_lo, n_hi):
+        best = (None, -np.inf)
+        inner_vocab = [v for v in range(vocab) if v not in (blank, eos)]
+        for n in range(n_lo, n_hi + 1):
+            for seq in itertools.product(inner_vocab, repeat=n):
+                sc = ((1 - ctc_weight) * dec_score(seq)
+                      + ctc_weight * np_ctc_forward(ctc_logp, list(seq), blank))
+                if sc > best[1]:
+                    best = (list(seq), sc)
+        return best
+
+    base_toks, base_score = run()
+    # floor(0.99 * 6) = 5 clips to the compiled bound (4) == unconstrained
+    clip_toks, clip_score = run(maxlenratio=0.99)
+    assert clip_toks == base_toks
+    np.testing.assert_allclose(clip_score, base_score, rtol=1e-6)
+
+    # maxlenratio 0.34: eff_maxlen = floor(.34*6) = 2 -> <= 1 inner token
+    got, score = run(maxlenratio=0.34)
+    want, want_score = brute(0, 1)
+    assert got == want, f"maxlen: beam={got} vs brute={want}"
+    np.testing.assert_allclose(score, want_score, rtol=1e-4)
+    assert len(got) <= 1
+
+    # minlenratio 0.5: eff_minlen = 3 -> eos position >= 3 -> >= 2 inner tokens
+    got, score = run(minlenratio=0.5)
+    want, want_score = brute(2, max_len - 1)
+    assert got == want, f"minlen: beam={got} vs brute={want}"
+    np.testing.assert_allclose(score, want_score, rtol=1e-4)
+    assert len(got) >= 2
