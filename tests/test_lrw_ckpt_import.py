@@ -61,7 +61,9 @@ def xt_rotary(t, rot_dim):
     return torch.cat((rotated, tu), dim=-1)
 
 
-def xt_forward(sd, x, depth=DEPTH, dim=DIM, heads=HEADS, rope_dim=ROPE_DIM):
+def xt_forward(sd, x, depth=DEPTH, dim=DIM, heads=HEADS, rope_dim=ROPE_DIM,
+               inner=None):
+    inner = inner or dim  # attention width (< dim when WB widens the stream)
     lin = lambda w, v, b=None: torch.nn.functional.linear(v, w, b)
     for i in range(depth):
         a, f = f"layers.{2 * i}", f"layers.{2 * i + 1}"
@@ -70,12 +72,12 @@ def xt_forward(sd, x, depth=DEPTH, dim=DIM, heads=HEADS, rope_dim=ROPE_DIM):
         k = lin(sd[f"{a}.1.to_k.weight"], h)
         v = lin(sd[f"{a}.1.to_v.weight"], h)
         b, t, _ = q.shape
-        dk = dim // heads
+        dk = inner // heads
         split = lambda z: z.view(b, t, heads, dk).transpose(1, 2)  # [B,H,T,D]
         q, k, v = split(q), split(k), split(v)
         q, k = xt_rotary(q, rope_dim), xt_rotary(k, rope_dim)
         att = torch.softmax(q @ k.transpose(-1, -2) * dk ** -0.5, dim=-1)
-        o = (att @ v).transpose(1, 2).reshape(b, t, dim)
+        o = (att @ v).transpose(1, 2).reshape(b, t, inner)
         x = x + lin(sd[f"{a}.1.to_out.weight"], o, sd[f"{a}.1.to_out.bias"])
 
         h = xt_rmsnorm(x, sd[f"{f}.0.0.g"])
