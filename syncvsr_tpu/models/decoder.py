@@ -125,22 +125,25 @@ class DecoderLayer(nn.Module):
         x = x + self.drop(self.ff(self.norm3(x), det), deterministic=det)
         return x
 
-    def step(self, x: Array, cache: Dict[str, Array], pos: Array, memory: Array,
-             mem_bias: Optional[Array],
-             mem_kv: Optional[Dict[str, Array]] = None,
-             mem_keep: Optional[Array] = None
-             ) -> Tuple[Array, Dict[str, Array]]:
-        """x: [B, 1, D] new token; cache holds self-attn K/V [B, Lmax, H, Dk].
+    def project_step_kv(self, x: Array) -> Tuple[Array, Array, Array]:
+        """x: [B, 1, D] new token -> (normed input h, K/V slices [B, 1, H, Dk])
+        for the stacked cache update done by TransformerDecoder.step."""
+        h = self.norm1(x)
+        k_new, v_new = self.self_attn.project_kv(h)
+        return h, k_new, v_new
+
+    def step_attend(self, x: Array, h: Array, k: Array, v: Array, pos: Array,
+                    memory: Optional[Array], mem_bias: Optional[Array],
+                    mem_kv: Optional[Dict[str, Array]] = None,
+                    mem_keep: Optional[Array] = None) -> Array:
+        """Finish one decode step given this layer's updated self-attn K/V
+        [B, Lmax, H, Dk] (new token already written at ``pos``).
 
         With ``mem_kv`` (precomputed {"k","v"} [T, H, Dk] from
         ``MHA.project_kv`` on the encoder memory) the cross-attention skips
         the per-step K/V projections — espnet's forward_one_step re-projects
         the full memory every step (decoder.py:204-227); at beam width W that
         is 2 x layers x W x T x D^2 MACs/step of pure recompute."""
-        h = self.norm1(x)
-        k_new, v_new = self.self_attn.project_kv(h)
-        k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, pos, axis=1)
-        v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, pos, axis=1)
         lmax = k.shape[1]
         # attend only to positions <= pos
         valid = jnp.arange(lmax)[None, None, None, :] <= pos
@@ -152,7 +155,7 @@ class DecoderLayer(nn.Module):
         else:
             x = x + self.src_attn(self.norm2(x), memory, mem_bias, True)
         x = x + self.ff(self.norm3(x), True)
-        return x, {"k": k, "v": v}
+        return x
 
 
 class TransformerDecoder(nn.Module):
@@ -196,12 +199,17 @@ class TransformerDecoder(nn.Module):
             x = block(x, self_bias, memory, mem_bias, det)
         return self.output(self.after_norm(x).astype(jnp.float32))
 
-    def init_cache(self, batch: int, max_len: int) -> Dict[str, Dict[str, Array]]:
+    def init_cache(self, batch: int, max_len: int) -> Dict[str, Array]:
+        """Self-attn K/V cache with ALL layers stacked on axis 1
+        ([B, layers, Lmax, H, Dk]), beam/batch staying the leading axis: the
+        beam search reorders hypotheses with ``tree_map(lambda c: c[sel])``,
+        and the stacked layout makes that 2 gathers instead of 2 x layers
+        (espnet's batch_beam_search.py:287-349 pays a Python-side per-layer
+        re-index instead)."""
         d_k = self.dim // self.heads
-        return {f"block_{i}": {
-            "k": jnp.zeros((batch, max_len, self.heads, d_k), self.dtype),
-            "v": jnp.zeros((batch, max_len, self.heads, d_k), self.dtype),
-        } for i in range(self.layers)}
+        shape = (batch, self.layers, max_len, self.heads, d_k)
+        return {"k": jnp.zeros(shape, self.dtype),
+                "v": jnp.zeros(shape, self.dtype)}
 
     def precompute_memory(self, memory: Array) -> Dict[str, Dict[str, Array]]:
         """Project the encoder memory [T, D] (or [B, T, D]) through every
@@ -231,11 +239,17 @@ class TransformerDecoder(nn.Module):
         if memory_mask is not None and mem_kv is None:
             mem_bias = jnp.where(memory_mask[:, None, None, :], 0.0,
                                  jnp.finfo(jnp.float32).min)
-        new_cache = {}
+        k_all, v_all = cache["k"], cache["v"]   # [B, layers, Lmax, H, Dk]
         for i, block in enumerate(self.blocks):
-            x, new_cache[f"block_{i}"] = block.step(
-                x, cache[f"block_{i}"], pos, memory, mem_bias,
+            h, k_new, v_new = block.project_step_kv(x)
+            # write this layer's new-token K/V at (layer i, position pos)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_new[:, None], (0, i, pos, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_new[:, None], (0, i, pos, 0, 0))
+            x = block.step_attend(
+                x, h, k_all[:, i], v_all[:, i], pos, memory, mem_bias,
                 mem_kv=None if mem_kv is None else mem_kv[f"block_{i}"],
                 mem_keep=memory_mask)
         logits = self.output(self.after_norm(x[:, 0]).astype(jnp.float32))
-        return jax.nn.log_softmax(logits, axis=-1), new_cache
+        return jax.nn.log_softmax(logits, axis=-1), {"k": k_all, "v": v_all}
