@@ -136,6 +136,16 @@ _AB_ENVS = {
     "mxu": {"SYNCVSR_BN_STATS_MXU": "1"},
     "fold64": {"SYNCVSR_BN_FOLD64": "1"},
     "mpr": {"SYNCVSR_MAXPOOL_RECOMPUTE": "1"},
+    # architecture-level variants (config overrides, model rebuilt):
+    # stem128 widens the conv3d stem to 128 channels so the stem-BN statistics
+    # reduction reads full 128-element lanes (the [.., C=64]-minor layout
+    # half-wastes them — 11 ms of the 96 ms lrs3 step). Breaks released-ckpt
+    # parity; measurement-only unless it wins big.
+    "stem128": {},
+}
+
+_AB_CONFIGS = {
+    "stem128": {"model.frontend.stem_channels": 128},
 }
 
 _AB_ALL_KEYS = sorted({k for env in _AB_ENVS.values() for k in env})
@@ -183,7 +193,6 @@ def bench_ab(workload: str, variants: list[str]):
         init["inputs"] = jnp.zeros((bs, frames, h, h, 1), jnp.float32)
         aug = build_word_aug(config.data)
 
-    model = build_model(config)
     device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
     opts = ({"xla_tpu_scoped_vmem_limit_kib": str(config.train.scoped_vmem_kib)}
             if config.train.scoped_vmem_kib
@@ -193,8 +202,10 @@ def bench_ab(workload: str, variants: list[str]):
         for k in _AB_ALL_KEYS:
             os.environ.pop(k, None)
         os.environ.update(_AB_ENVS[variant])
+        v_config = config.override(**_AB_CONFIGS.get(variant, {}))
+        model = build_model(v_config)
         state = create_train_state(
-            config, model, {k: jnp.asarray(v) for k, v in init.items()})
+            v_config, model, {k: jnp.asarray(v) for k, v in init.items()})
         step = build_train_step(mesh=None, donate=True, aug_fn=aug,
                                 compiler_options=opts)
         for _ in range(3):
