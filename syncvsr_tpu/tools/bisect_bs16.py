@@ -1,0 +1,143 @@
+"""Bisect the lrs3 bs16 TPU-worker crash, one subgraph per relay session.
+
+Round-3 triage (CLAUDE.md): the full lrs3 train step at bs16 x T160
+deterministically kills the TPU worker ("kernel fault") while bs8 runs at
+102 ms/step. Not the Pallas sync kernel, not uint8 aug, not d=768. Each
+crash wedges the relay 20-40 min, so this tool runs exactly ONE variant per
+invocation — run the next variant in a fresh session after the relay
+recovers.
+
+    python -m syncvsr_tpu.tools.bisect_bs16 <variant> [batch_size]
+
+Variants (ordered by information gain):
+    frontend  — conv3d stem + ResNet trunk only, fwd+bwd (sum-sq loss)
+    encoder   — frontend + conformer encoder (encode), fwd+bwd
+    model     — full model losses fwd+bwd, NO optimizer update, no donation
+    full      — the complete train step (known crasher at bs16; control)
+    bs12      — full step at batch 12 (probe between the good/bad sizes)
+
+Success prints one JSON line with ms/step; a worker crash is the signal.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(tree):
+    float(jax.tree_util.tree_leaves(tree)[0].astype(jnp.float32).reshape(-1)[0])
+
+
+def _time_loop(fn, n=10):
+    """fn() -> something syncable; warm up 3, time n."""
+    for _ in range(3):
+        out = fn()
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    import os
+
+    variant = sys.argv[1]
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        12 if variant == "bs12" else 16)
+    frames = int(os.environ.get("SYNCVSR_BISECT_FRAMES", "160"))
+
+    from syncvsr_tpu.config import lrs3_config
+    from syncvsr_tpu.data.synthetic import sentence_batch
+    from syncvsr_tpu.engine import build_train_step, create_train_state
+    from syncvsr_tpu.models import build_model
+    from syncvsr_tpu.ops.image import build_sentence_aug
+
+    config = lrs3_config().override(**{"data.batch_size": bs})
+    if os.environ.get("SYNCVSR_BISECT_TINY"):  # CPU smoke of the tool itself
+        config = config.override(**{
+            "model.encoder.layers": 1, "model.encoder.dim": 64,
+            "model.encoder.heads": 2, "model.decoder.layers": 1,
+            "model.decoder.dim": 64, "model.decoder.heads": 2,
+            "model.decoder.hidden": 128, "model.labels": 101})
+    model = build_model(config)
+    rng_np = np.random.RandomState(0)
+    raw = sentence_batch(config, bs, num_frames=frames, label_len=48)
+    raw["videos"] = rng_np.randint(0, 256, (bs, frames, 128, 128, 1)
+                                   ).astype(np.uint8)
+    h = config.data.crop_size
+    init = dict(raw)
+    init["videos"] = jnp.zeros((bs, frames, h, h, 1), jnp.float32)
+    aug = build_sentence_aug(config.data)
+    print(f"# bisect_bs16 variant={variant} bs={bs} backend="
+          f"{jax.default_backend()}", flush=True)
+
+    state = create_train_state(
+        config, model, {k: jnp.asarray(v) for k, v in init.items()})
+    device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
+
+    if variant in ("frontend", "encoder", "model"):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        @jax.jit
+        def step(variables, batch):
+            rng = jax.random.PRNGKey(0)
+            batch = aug(rng, batch)
+
+            def loss(params):
+                v = {"params": params, "batch_stats": variables["batch_stats"]}
+                if variant == "frontend":
+                    feats, _ = model.apply(
+                        v, batch["videos"], True, mutable=["batch_stats"],
+                        method=lambda m, x, train: m.frontend(x, train=train))
+                    return jnp.sum(feats.astype(jnp.float32) ** 2)
+                if variant == "encoder":
+                    feats, _ = model.apply(
+                        v, batch["videos"], batch["lengths"], det=False,
+                        mutable=["batch_stats"], rngs={"dropout": rng},
+                        method="encode")
+                    return jnp.sum(feats.astype(jnp.float32) ** 2)
+                out, _ = model.apply(
+                    v, **batch, det=False, mutable=["batch_stats"],
+                    rngs={"mixup": rng, "dropout": rng})
+                return out["loss"]
+
+            grads = jax.grad(loss)(variables["params"])
+            # reduce so the grads can't be dead-code-eliminated
+            return sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                       for g in jax.tree_util.tree_leaves(grads))
+
+        ms = _time_loop(lambda: step(variables, device_batch))
+        print(json.dumps({"variant": variant, "bs": bs,
+                          "ms_per_step": round(ms, 1), "ok": True}),
+              flush=True)
+        return
+
+    # full / bs12: the real train step, donation + scoped-vmem as in bench.py
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(config.train.scoped_vmem_kib)}
+            if config.train.scoped_vmem_kib
+            and jax.default_backend() != "cpu" else None)
+    step = build_train_step(mesh=None, donate=True, aug_fn=aug,
+                            compiler_options=opts)
+
+    holder = {"state": state}
+
+    def one():
+        holder["state"], metrics = step(holder["state"], device_batch)
+        return metrics["loss"]
+
+    ms = _time_loop(one)
+    print(json.dumps({"variant": variant, "bs": bs, "ms_per_step": round(ms, 1),
+                      "frames_per_sec": round(bs * frames / (ms / 1e3), 1),
+                      "ok": True}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
