@@ -15,13 +15,16 @@ Array = jax.Array
 def make_beam_decoder(model, variables: Dict[str, Any],
                       config: BeamSearchConfig,
                       max_len: Optional[int] = None,
-                      lm=None, lm_variables: Optional[Dict[str, Any]] = None):
+                      lm=None, lm_variables: Optional[Dict[str, Any]] = None,
+                      early_exit: bool = True):
     """Builds a jitted single-utterance decoder.
 
     Returns fn(videos [1, T, ...], length) -> (tokens [L], n_tokens, score),
     mirroring the reference's per-utterance test loop
     (LRS/video/lightning.py:114-129) but fully compiled. Pass an LM module
     (models.lm) + its variables and set config.lm_weight for shallow fusion.
+    ``early_exit=False`` forces the full sequential loop (worst-case
+    benchmarking).
     """
     vocab = model.cfg.labels
 
@@ -61,7 +64,8 @@ def make_beam_decoder(model, variables: Dict[str, Any],
 
         return beam_search(decoder_step, init_cache, enc, flen, ctc_logp,
                            vocab, config, max_len=max_len,
-                           lm_step=lm_step, lm_init=lm_init)
+                           lm_step=lm_step, lm_init=lm_init,
+                           early_exit=early_exit)
 
     def decode(videos: Array, length: Array):
         return decode_impl(variables, lm_variables, videos, length)

@@ -217,6 +217,102 @@ def bench_testset(beam: int = 40, bs: int = 8,
     print(json.dumps(out))
 
 
+def bench_trained(t_frames: int = 500, train_frames: int = 160,
+                  steps: int = 400, beam: int = 40, tiny: bool = False):
+    """Measure the while_loop early exit with ACTUALLY trained weights
+    (VERDICT r3 weak #5: the 10-20x claim rested on a toy). Overfits the
+    full-scale lrs3 model on one synthetic utterance (fixed video ->
+    ~20-token transcript), then decodes it through the SAME compiled
+    T=t_frames program twice: with the random init (no eos -> all t_frames
+    sequential steps, the worst case) and with the trained weights (eos wins
+    shortly after the transcript ends -> early exit)."""
+    from syncvsr_tpu.config import lrs3_config
+    from syncvsr_tpu.data.synthetic import sentence_batch
+    from syncvsr_tpu.decode import BeamSearchConfig
+    from syncvsr_tpu.decode.api import make_beam_decoder
+    from syncvsr_tpu.engine import build_train_step, create_train_state
+    from syncvsr_tpu.models import build_model
+
+    train_frames = min(train_frames, t_frames)
+    # sync head off (memorizing one clip only needs ctc+att); short warmup +
+    # flat schedule so the overfit actually trains (the preset's 25k-step
+    # warmup keeps lr ~0 for a few hundred steps)
+    config = lrs3_config().override(**{
+        "data.batch_size": 1, "model.sync_lambda": 0.0,
+        "optim.lr": 3e-4, "optim.warmup_steps": 20,
+        "optim.total_steps": max(steps * 10, 1000),
+        "optim.clip_norm": 1.0})
+    crop = 96
+    if tiny:  # CPU smoke of the harness
+        config = config.override(**{
+            "model.encoder.layers": 1, "model.encoder.dim": 32,
+            "model.encoder.heads": 2, "model.encoder.conv_kernel": 7,
+            "model.decoder.layers": 1, "model.decoder.dim": 32,
+            "model.decoder.heads": 2, "model.decoder.hidden": 64,
+            "model.labels": 33, "model.dtype": "float32",
+            "model.frontend.stem_channels": 8,
+            "model.frontend.resnet_width": 8,
+            "data.crop_size": 16})
+        crop = 16
+    model = build_model(config)
+
+    rng = np.random.RandomState(0)
+    label_len = 20
+    batch = sentence_batch(config, 1, num_frames=train_frames,
+                           label_len=label_len)
+    batch["videos"] = rng.randn(1, train_frames, crop, crop, 1
+                                ).astype(np.float32)
+    batch["labels"] = np.concatenate(
+        [rng.randint(1, config.model.labels - 1, (1, label_len)),
+         np.full((1, 4), -1, np.int32)], axis=1).astype(np.int32)
+    batch["lengths"] = np.full((1,), train_frames, np.int32)
+    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state = create_train_state(config, model, device_batch)
+    init_variables = {"params": state.params, "batch_stats": state.batch_stats}
+    step = build_train_step(mesh=None, donate=False)
+    for i in range(steps):
+        state, metrics = step(state, device_batch)
+        if i % 100 == 0 or i == steps - 1:
+            print(f"# overfit step {i}: loss {float(metrics['loss']):.3f} "
+                  f"dec_acc {float(metrics.get('decoder_acc', np.nan)):.3f}",
+                  flush=True)
+    trained_variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+
+    bs_config = BeamSearchConfig(beam_size=beam,
+                                 ctc_weight=config.model.mtlalpha)
+    videos = jnp.asarray(np.pad(batch["videos"],
+                                [(0, 0), (0, t_frames - train_frames),
+                                 (0, 0), (0, 0), (0, 0)]))
+    length = jnp.asarray(train_frames, jnp.int32)
+
+    out = {"mode": "trained", "beam": beam, "t_frames": t_frames,
+           "train_frames": train_frames, "transcript_len": label_len,
+           "overfit_steps": steps}
+    for name, variables in (("worst_case_random", init_variables),
+                            ("trained", trained_variables)):
+        # worst case = full sequential loop (no early exit): random weights
+        # on small models can spuriously early-exit, which would understate it
+        decode = make_beam_decoder(model, variables, bs_config,
+                                   early_exit=(name == "trained"))
+        toks, n, score = decode(videos, length)   # compile + first run
+        float(score)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            toks, n, score = decode(videos, length)
+        float(score)
+        hyp = [int(x) for x in np.asarray(toks)[: int(n)]]
+        out[name] = {"sec_per_utt": round((time.perf_counter() - t0) / 3, 3),
+                     "hyp_len": int(n)}
+        if name == "trained":
+            want = [int(x) for x in batch["labels"][0][:label_len]]
+            out[name]["exact_match"] = hyp == want
+    out["early_exit_speedup"] = round(
+        out["worst_case_random"]["sec_per_utt"] / out["trained"]["sec_per_utt"], 1)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "beam"
     if mode == "beam":
@@ -228,5 +324,9 @@ if __name__ == "__main__":
     elif mode == "testset":
         bench_testset(beam=int(sys.argv[2]) if len(sys.argv) > 2 else 40,
                       bs=int(sys.argv[3]) if len(sys.argv) > 3 else 8)
+    elif mode == "trained":
+        bench_trained(t_frames=int(sys.argv[2]) if len(sys.argv) > 2 else 500,
+                      steps=int(sys.argv[3]) if len(sys.argv) > 3 else 400,
+                      tiny=len(sys.argv) > 4 and sys.argv[4] == "tiny")
     else:
         raise SystemExit(f"unknown mode {mode}")
