@@ -43,17 +43,15 @@ class LMBlock(nn.Module):
         x = x + self.attn(h, h, bias, det)
         return x + self.ff(self.norm2(x), det)
 
-    def step(self, x: Array, cache: Dict[str, Array], pos: Array
-             ) -> Tuple[Array, Dict[str, Array]]:
-        h = self.norm1(x)
-        k_new, v_new = self.attn.project_kv(h)
-        k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, pos, axis=1)
-        v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, pos, axis=1)
+    def step_attend(self, x: Array, h: Array, k: Array, v: Array, pos: Array
+                    ) -> Array:
+        """Finish one step given the updated K/V [W, Lmax, H, Dk] (new token
+        already written at ``pos``); see TransformerLM.step for the stacked
+        cache update."""
         valid = jnp.arange(k.shape[1])[None, None, None, :] <= pos
         bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
         x = x + self.attn.attend_cached(h, k, v, bias)
-        x = x + self.ff(self.norm2(x), True)
-        return x, {"k": k, "v": v}
+        return x + self.ff(self.norm2(x), True)
 
 
 class TransformerLM(nn.Module):
@@ -100,20 +98,28 @@ class TransformerLM(nn.Module):
         return self.output(self.norm(x).astype(jnp.float32))
 
     def init_cache(self, width: int, max_len: Optional[int] = None):
+        """K/V cache with all layers stacked on axis 1 (beam axis leading),
+        like the decoder's — the beam search reorders it with one gather per
+        leaf instead of one per layer."""
         d_k = self.dim // self.heads
         ml = max_len or self.max_len
-        return {f"block_{i}": {
-            "k": jnp.zeros((width, ml, self.heads, d_k), self.dtype),
-            "v": jnp.zeros((width, ml, self.heads, d_k), self.dtype),
-        } for i in range(self.layers)}
+        shape = (width, self.layers, ml, self.heads, d_k)
+        return {"k": jnp.zeros(shape, self.dtype),
+                "v": jnp.zeros(shape, self.dtype)}
 
     def step(self, y_prev: Array, pos: Array, cache) -> Tuple[Array, Any]:
         x = self._embed(y_prev[:, None], offset=0)
-        new_cache = {}
+        k_all, v_all = cache["k"], cache["v"]   # [W, layers, Lmax, H, Dk]
         for i, block in enumerate(self.blocks):
-            x, new_cache[f"block_{i}"] = block.step(x, cache[f"block_{i}"], pos)
+            h = block.norm1(x)
+            k_new, v_new = block.attn.project_kv(h)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_new[:, None], (0, i, pos, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_new[:, None], (0, i, pos, 0, 0))
+            x = block.step_attend(x, h, k_all[:, i], v_all[:, i], pos)
         logits = self.output(self.norm(x[:, 0]).astype(jnp.float32))
-        return jax.nn.log_softmax(logits, axis=-1), new_cache
+        return jax.nn.log_softmax(logits, axis=-1), {"k": k_all, "v": v_all}
 
 
 class RNNLM(nn.Module):
