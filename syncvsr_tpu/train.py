@@ -142,13 +142,20 @@ def train(config: Config) -> Dict[str, float]:
             em.update(m, weight=w)
         return em.summary("val/")
 
+    # metrics accounting lags one step: device_get(metrics) blocks until the
+    # step finishes, and reading step N only after dispatching step N+1 keeps
+    # a step in flight — on the relay backend each dispatch carries network
+    # RTT that would otherwise serialize with the host loader
+    pending_metrics = None
     for epoch in range(config.train.epochs):
         for batch in train_loader:
             if prof_range and step == prof_range[0]:
                 jax.profiler.start_trace(config.train.profile_dir)
             with timer:
                 state, metrics = train_step(state, shard_batch(mesh, batch))
-                meter.update(jax.device_get(metrics))
+                if pending_metrics is not None:
+                    meter.update(jax.device_get(pending_metrics))
+                pending_metrics = metrics
             step += 1
             if prof_range and step == prof_range[1]:
                 jax.profiler.stop_trace()
@@ -185,6 +192,8 @@ def train(config: Config) -> Dict[str, float]:
             continue
         break
 
+    if pending_metrics is not None:  # flush the lagged final-step metrics
+        meter.update(jax.device_get(pending_metrics))
     final = run_eval()
     logger.log(final, step)
     if jax.process_index() == 0:
