@@ -1,16 +1,17 @@
 """Benchmarks: train-step throughput for all four benchmarked workloads.
 
-Prints one JSON line per workload (video frames/sec/chip), in this order:
-  1. lrw_landmark — the reference's own TPU stack (LRW/landmark), bs 1024.
-  2. lrs3_audio — Conv1D-ResNet frontend over raw waveform, bs 32 x T=160.
-  3. lrs3 sentence-level — Conformer 12L x 768d + CTC + attention decoder +
-     sync head, bs 8 x T=160 bucket, bf16, aug in-step (bs 16 deterministically
-     crashes the TPU worker at these shapes — see CLAUDE.md round-3 notes and
-     bench_lrs3 below; the reference's global bs 16 is split across chips).
-  4. lrw word-level — Conv3D+ResNet-18 frontend, 12L x 512d transformer,
-     word-CE + lambda*sync, bs 96, bf16, fused on-device augmentation.
-The LRW line is printed LAST (the driver's tail parse keeps it as the
-headline metric).
+Prints one JSON line per workload (video frames/sec/chip):
+  - lrw_landmark — the reference's own TPU stack (LRW/landmark), bs 1024.
+  - lrs3_audio — Conv1D-ResNet frontend over raw waveform, bs 32 x T=160.
+  - lrs3 sentence-level — Conformer 12L x 768d + CTC + attention decoder +
+    sync head, bs 8 x T=160 bucket, bf16, aug in-step (bs 16 deterministically
+    crashes the TPU worker at these shapes — see CLAUDE.md round-3 notes and
+    bench_lrs3 below; the reference's global bs 16 is split across chips).
+  - lrw word-level — Conv3D+ResNet-18 frontend, 12L x 512d transformer,
+    word-CE + lambda*sync, bs 96, bf16, fused on-device augmentation.
+Aux/lrs3 lines are printed as soon as each workload completes (a parent-level
+kill can't lose them); the LRW line is held and printed LAST (the driver's
+tail parse keeps it as the headline metric).
 
 Relay-proofing (round-4): the parent process never imports jax. Each
 workload runs in a subprocess that probes the backend under a watchdog —
@@ -38,9 +39,10 @@ _RC_PROBE_HANG = 7   # backend init hung past the watchdog
 
 _PROBE_TIMEOUT_S = float(os.environ.get("SYNCVSR_BENCH_PROBE_S", "180"))
 
-# Run order: headline first (never starved by budget), cheap aux last.
+# Run order: headline first (never starved by budget), cheap aux last;
+# the headline's JSON line is held and printed last (driver tail-parse).
 _RUN_ORDER = ("lrw", "lrs3", "landmark", "audio")
-# Print order: headline LAST (driver tail-parses the final JSON line).
+# In-process debug order: headline last.
 _PRINT_ORDER = ("landmark", "audio", "lrs3", "lrw")
 # Per-workload attempt caps (healthy-relay first compile is 2-5 min).
 _CAPS = {"lrw": 1500, "lrs3": 1200, "landmark": 600, "audio": 600}
@@ -286,6 +288,13 @@ def _child(workload: str) -> None:
 # Parent: stdlib only — budget, isolation, ordering
 # ---------------------------------------------------------------------------
 
+def _json_line(stdout) -> str | None:
+    if isinstance(stdout, bytes):
+        stdout = stdout.decode("utf-8", "replace")
+    return next((ln for ln in (stdout or "").splitlines()
+                 if ln.startswith("{")), None)
+
+
 def _run_child(workload: str, timeout_s: float):
     """Returns (json_line_or_None, status) where status is one of
     ok | init-error | probe-hang | timeout | error."""
@@ -294,10 +303,12 @@ def _run_child(workload: str, timeout_s: float):
             [sys.executable, os.path.abspath(__file__), "--child", workload],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        return None, "timeout"
-    line = next((ln for ln in proc.stdout.splitlines()
-                 if ln.startswith("{")), None)
+    except subprocess.TimeoutExpired as exc:
+        # a measurement already printed before the hang (e.g. the relay
+        # wedging during session teardown) is still good — salvage it
+        line = _json_line(exc.stdout)
+        return (line, "ok") if line else (None, "timeout")
+    line = _json_line(proc.stdout)
     if line:
         # keep a completed measurement even if teardown crashed the child
         # afterwards (relay faults around session end are a documented mode)
@@ -317,12 +328,12 @@ def main() -> None:
     deadline = time.monotonic() + budget_s
     results: dict = {}
     relay_dead = False
-    init_retry_used = False
 
     for wl in _RUN_ORDER:
         if relay_dead:
             print(f"# bench {wl}: skipped (relay unavailable)", flush=True)
             continue
+        init_retry_used = False  # per workload: one transient UNAVAILABLE
         while True:
             remaining = deadline - time.monotonic()
             if remaining < 150:
@@ -336,6 +347,11 @@ def main() -> None:
             if status == "ok":
                 results[wl] = line
                 print(f"# bench {wl}: ok in {took:.0f}s", flush=True)
+                if wl != "lrw":
+                    # print completed aux/lrs3 lines immediately so a
+                    # parent-level kill can't lose them; the lrw headline
+                    # stays held so it is always the LAST json line
+                    print(line, flush=True)
                 break
             print(f"# bench {wl}: {status} after {took:.0f}s "
                   f"(timeout was {timeout_s:.0f}s)", flush=True)
@@ -343,7 +359,7 @@ def main() -> None:
                 relay_dead = True  # a wedged probe never recovers in-budget
                 break
             if status == "init-error" and not init_retry_used:
-                init_retry_used = True  # one transient UNAVAILABLE is known
+                init_retry_used = True
                 time.sleep(min(30, max(0, deadline - time.monotonic() - 150)))
                 continue
             if status == "init-error":
@@ -351,9 +367,8 @@ def main() -> None:
                 break
             break  # timeout / error: move on, budget check gates the rest
 
-    for wl in _PRINT_ORDER:
-        if wl in results:
-            print(results[wl], flush=True)
+    if "lrw" in results:
+        print(results["lrw"], flush=True)
     if not results:
         print("# bench: no measurements (relay unavailable or budget "
               "exhausted before any workload completed)", flush=True)

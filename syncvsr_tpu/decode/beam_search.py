@@ -36,8 +36,12 @@ class BeamSearchConfig:
     # espnet BeamSearch length-ratio knobs (beam_search.py:330-360): when
     # maxlenratio > 0 the decode loop runs floor(maxlenratio * valid_frames)
     # steps instead of max_len; minlenratio blocks eos (except at the forced
-    # final step) until floor(minlenratio * valid_frames) tokens are emitted.
-    # The published configs use 0.0 / 0.0 — the defaults here.
+    # final step) until floor(minlenratio * valid_frames) inner tokens are
+    # emitted — upstream espnet's `i >= minlen` gate. NOTE the reference's
+    # *vendored* espnet copy computes minlen but never enforces it
+    # (beam_search.py:355 vs post_process:408 — a dead knob there); this
+    # implements the documented upstream semantics instead. The published
+    # configs use 0.0 / 0.0 — the defaults here.
     maxlenratio: float = 0.0
     minlenratio: float = 0.0
     # sos = eos = vocab - 1 set at call time
@@ -140,8 +144,9 @@ def beam_search(
         eos_only = jnp.full((vocab,), LOGZERO).at[eos].set(0.0)
         total = jnp.where(is_last, total + eos_only[None, :], total)
         if config.minlenratio > 0.0:
-            # block eos until eff_minlen tokens emitted (forced final step wins)
-            eos_ok = is_last | ((i + 1) >= eff_minlen)
+            # eos at step i ends a hypothesis with i inner tokens; upstream
+            # espnet allows it iff i >= minlen (forced final step wins)
+            eos_ok = is_last | (i >= eff_minlen)
             total = total.at[:, eos].set(
                 jnp.where(eos_ok, total[:, eos], LOGZERO))
 

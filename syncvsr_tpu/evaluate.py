@@ -151,13 +151,20 @@ def main():
             lm = TransformerLM(vocab=config.model.labels, **lm_shape)
         # sniff the checkpoint format by content, not extension: a converted
         # msgpack saved under any other name must not fall through to
-        # torch.load and die with a confusing unpickling error
+        # torch.load and die with a confusing unpickling error. Magic bytes
+        # decide without parsing the body (a 16L espnet LM is 100s of MB):
+        # torch saves are zip ("PK") or legacy pickle (0x80); flax msgpack
+        # payloads are msgpack maps (0x8N fixmap / 0xde / 0xdf).
+        with open(lm_ckpt, "rb") as _f:
+            magic = _f.read(2)
+        looks_torch = magic[:2] == b"PK" or (magic and magic[0] == 0x80)
         lm_payload = None
-        try:
-            lm_payload = ckpt.load_msgpack(lm_ckpt)
-        except Exception:
-            if lm_ckpt.endswith(".msgpack"):
-                raise  # named msgpack but unreadable: surface the real error
+        if not looks_torch:
+            try:
+                lm_payload = ckpt.load_msgpack(lm_ckpt)
+            except Exception:
+                if lm_ckpt.endswith(".msgpack"):
+                    raise  # named msgpack but unreadable: surface the error
         if lm_payload is not None:
             pre = lm_payload.get("params", lm_payload)
             if lm_kind != "rnn" and not any(

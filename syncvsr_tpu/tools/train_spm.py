@@ -188,17 +188,20 @@ def _prune(sentences: List[Tuple[str, int]], scores: Dict[str, float],
         for p in viterbi(s, scores, max_piece_len):
             vfreq[p] += c
     losses = []
-    for p, sc in scores.items():
+    for p in list(scores):
         if len(p) == 1:
             continue  # single chars are never pruned
+        sc = scores[p]
         f = vfreq.get(p, 0.0)
         if f == 0.0:
             losses.append((0.0, p))
             continue
-        rest = dict(scores)
-        del rest[p]
-        alt = viterbi(p, rest, max_piece_len)
-        alt_score = sum(rest[q] for q in alt) if alt else -1e9
+        # evaluate removal by popping the single key (copying the whole dict
+        # per candidate is O(V^2) across a prune round)
+        del scores[p]
+        alt = viterbi(p, scores, max_piece_len)
+        alt_score = sum(scores[q] for q in alt) if alt else -1e9
+        scores[p] = sc
         losses.append((f * (sc - alt_score), p))
     losses.sort(key=lambda kv: -kv[0])
     n_chars = sum(1 for p in scores if len(p) == 1)

@@ -194,6 +194,9 @@ def train(config: Config) -> Dict[str, float]:
 
     if pending_metrics is not None:  # flush the lagged final-step metrics
         meter.update(jax.device_get(pending_metrics))
+        tail = meter.summary("train/")  # partial window since the last log
+        if tail:
+            logger.log(tail, step)
     final = run_eval()
     logger.log(final, step)
     if jax.process_index() == 0:

@@ -326,9 +326,10 @@ def test_length_ratio_knobs_match_exhaustive():
     np.testing.assert_allclose(score, want_score, rtol=1e-4)
     assert len(got) <= 1
 
-    # minlenratio 0.5: eff_minlen = 3 -> eos position >= 3 -> >= 2 inner tokens
+    # minlenratio 0.5: eff_minlen = 3 -> eos allowed at step i >= 3 (upstream
+    # espnet's i >= minlen gate) -> >= 3 inner tokens
     got, score = run(minlenratio=0.5)
-    want, want_score = brute(2, max_len - 1)
+    want, want_score = brute(3, max_len - 1)
     assert got == want, f"minlen: beam={got} vs brute={want}"
     np.testing.assert_allclose(score, want_score, rtol=1e-4)
-    assert len(got) >= 2
+    assert len(got) >= 3
