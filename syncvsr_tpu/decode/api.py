@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -77,15 +78,31 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
                               config: BeamSearchConfig,
                               max_len: int,
                               lm=None,
-                              lm_variables: Optional[Dict[str, Any]] = None):
+                              lm_variables: Optional[Dict[str, Any]] = None,
+                              mesh=None):
     """vmap the compiled beam search over a batch of utterances — every shape
     inside the search is static, so the whole batch decodes in one XLA program
     (the reference decodes one utterance at a time, data_module.py:104).
     ``max_len`` must be fixed (the padded/bucketed frame count). LM shallow
-    fusion mirrors ``make_beam_decoder``."""
+    fusion mirrors ``make_beam_decoder``.
+
+    With ``mesh``, the batch is sharded over the mesh's ``data`` axis
+    (weights replicated): each chip decodes its shard of the bucket in the
+    same program — multi-chip eval for free under GSPMD, since the vmap'd
+    search is embarrassingly parallel over utterances. Batch size must be a
+    multiple of the data-axis size (the eval loader's fixed padded batches
+    are)."""
     vocab = model.cfg.labels
 
-    @jax.jit
+    jit_kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        jit_kw = {"in_shardings": (repl, repl, data, data)}
+
+    @partial(jax.jit, **jit_kw)
     def decode_impl(variables, lm_variables, videos: Array, lengths: Array):
         def init_cache(w, l):
             return model.apply(variables, w, l, method="decoder_init_cache")

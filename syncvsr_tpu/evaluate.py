@@ -240,9 +240,15 @@ def main():
                       [(0, 0)] * (v.ndim - 2)
                 v = np.pad(v, pad)
             if tf not in decoders:
+                # shard the bucket over the data axis when the batch divides
+                # the mesh — multi-chip decode; fall back to one chip else
+                mesh = create_mesh(config.mesh.data, config.mesh.model)
+                n_data = mesh.shape.get("data", 1)
                 decoders[tf] = make_batched_beam_decoder(
                     model, variables, bs_config, max_len=tf,
-                    lm=lm, lm_variables=lm_variables)
+                    lm=lm, lm_variables=lm_variables,
+                    mesh=mesh if v.shape[0] % n_data == 0 and n_data > 1
+                    else None)
             toks, ns, scores = decoders[tf](jnp.asarray(v),
                                             jnp.asarray(batch["lengths"]))
             for i in valid_rows(batch):

@@ -68,3 +68,29 @@ def test_tensor_parallel_matches_dp(mesh8):
                     jax.tree_util.tree_leaves(state_tp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_sharded_batched_decode_matches_single_device(mesh8):
+    """make_batched_beam_decoder(mesh=...) shards the bucket over the data
+    axis; hypotheses and scores must match the unsharded program exactly."""
+    from syncvsr_tpu.decode import BeamSearchConfig
+    from syncvsr_tpu.decode.api import make_batched_beam_decoder
+    from tests.test_sentence_model import tiny_batch, tiny_sentence_config
+
+    config = tiny_sentence_config()
+    model = build_model(config)
+    batch = tiny_batch(config, b=8, t=10, seed=5)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_train_state(config, model, jb)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    cfg = BeamSearchConfig(beam_size=5, ctc_weight=0.1)
+
+    plain = make_batched_beam_decoder(model, variables, cfg, max_len=10)
+    sharded = make_batched_beam_decoder(model, variables, cfg, max_len=10,
+                                        mesh=mesh8)
+    toks_p, lens_p, scores_p = plain(jb["videos"], jb["lengths"])
+    toks_s, lens_s, scores_s = sharded(jb["videos"], jb["lengths"])
+    np.testing.assert_array_equal(np.asarray(lens_p), np.asarray(lens_s))
+    np.testing.assert_array_equal(np.asarray(toks_p), np.asarray(toks_s))
+    np.testing.assert_allclose(np.asarray(scores_p), np.asarray(scores_s),
+                               rtol=1e-5)
