@@ -140,10 +140,20 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
     return decode
 
 
-def make_greedy_ctc_decoder(model, variables: Dict[str, Any]):
-    """Batched greedy CTC decoding (no decoder/LM) — the fast path."""
+def make_greedy_ctc_decoder(model, variables: Dict[str, Any], mesh=None):
+    """Batched greedy CTC decoding (no decoder/LM) — the fast path. With
+    ``mesh``, the batch is sharded over the data axis (see
+    make_batched_beam_decoder)."""
 
-    @jax.jit
+    jit_kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        jit_kw = {"in_shardings": (NamedSharding(mesh, P()),
+                                   NamedSharding(mesh, P("data")),
+                                   NamedSharding(mesh, P("data")))}
+
+    @partial(jax.jit, **jit_kw)
     def decode_impl(variables, videos: Array, lengths: Array
                     ) -> Tuple[Array, Array]:
         enc = model.apply(variables, videos, lengths, det=True, method="encode")

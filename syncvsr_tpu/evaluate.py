@@ -256,11 +256,22 @@ def main():
                 ref = tt.post_process(np.asarray(batch["labels"][i]))
                 record(ref, hyp, float(scores[i]))
     else:
-        decode = make_greedy_ctc_decoder(model, variables)
+        mesh = create_mesh(config.mesh.data, config.mesh.model)
+        n_data = mesh.shape.get("data", 1)
+        decode = make_greedy_ctc_decoder(model, variables,
+                                         mesh=mesh if n_data > 1 else None)
+        decode_plain = None
         for batch in eval_loader:
             batch = eval_transform(batch)
-            toks, lens = decode(jnp.asarray(batch["videos"]),
-                                jnp.asarray(batch["lengths"]))
+            if n_data > 1 and batch["videos"].shape[0] % n_data != 0:
+                # odd tail batch: fall back to the unsharded program
+                if decode_plain is None:
+                    decode_plain = make_greedy_ctc_decoder(model, variables)
+                dec = decode_plain
+            else:
+                dec = decode
+            toks, lens = dec(jnp.asarray(batch["videos"]),
+                             jnp.asarray(batch["lengths"]))
             for i in valid_rows(batch):
                 hyp = tt.post_process(np.asarray(toks)[i][: int(lens[i])])
                 ref = tt.post_process(np.asarray(batch["labels"][i]))
