@@ -63,10 +63,12 @@ def make_beam_decoder(model, variables: Dict[str, Any],
             def lm_init(w):
                 return lm.apply(lm_variables, w, method="init_cache")
 
+        from syncvsr_tpu.models.decoder import grow_cache
+
         return beam_search(decoder_step, init_cache, enc, flen, ctc_logp,
                            vocab, config, max_len=max_len,
                            lm_step=lm_step, lm_init=lm_init,
-                           early_exit=early_exit)
+                           early_exit=early_exit, grow_cache=grow_cache)
 
     def decode(videos: Array, length: Array):
         return decode_impl(variables, lm_variables, videos, length)
@@ -125,9 +127,12 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
                                    memory_mask, mem_kv=mem_kv,
                                    method="decoder_step")
 
+            from syncvsr_tpu.models.decoder import grow_cache
+
             return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
                                vocab, config, max_len=max_len,
-                               lm_step=lm_step, lm_init=lm_init)
+                               lm_step=lm_step, lm_init=lm_init,
+                               grow_cache=grow_cache)
 
         enc = model.apply(variables, videos, lengths, det=True, method="encode")
         flens = model.apply(variables, videos, lengths, method="frame_lengths")

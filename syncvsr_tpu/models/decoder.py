@@ -158,6 +158,21 @@ class DecoderLayer(nn.Module):
         return x
 
 
+def grow_cache(cache: Dict[str, Array], new_len: int) -> Dict[str, Array]:
+    """Pad the stacked K/V cache's length axis (axis 2 of
+    [B, layers, Lmax, H, Dk]) to ``new_len``, preserving contents — the
+    staged-decode growth hook for beam_search(grow_cache=...). Pure layout
+    op; no parameters involved."""
+    def pad(c: Array) -> Array:
+        extra = new_len - c.shape[2]
+        if extra <= 0:
+            return c
+        width = [(0, 0), (0, 0), (0, extra), (0, 0), (0, 0)]
+        return jnp.pad(c, width)
+
+    return {k: pad(v) for k, v in cache.items()}
+
+
 class TransformerDecoder(nn.Module):
     vocab: int
     layers: int = 6

@@ -333,3 +333,53 @@ def test_length_ratio_knobs_match_exhaustive():
     assert got == want, f"minlen: beam={got} vs brute={want}"
     np.testing.assert_allclose(score, want_score, rtol=1e-4)
     assert len(got) >= 3
+
+
+def test_staged_cache_decode_matches_unstaged():
+    """Staged cache growth (grow_cache, bounds 64 -> l_max) is exact: same
+    hypothesis, length and score as the single full-capacity loop, with and
+    without early exit (the no-early-exit run crosses the stage boundary)."""
+    import numpy as np
+    from syncvsr_tpu.engine import create_train_state
+    from syncvsr_tpu.models import build_model
+    from syncvsr_tpu.models.decoder import grow_cache
+    from syncvsr_tpu.decode.beam_search import _stage_bounds
+    from tests.test_sentence_model import tiny_batch, tiny_sentence_config
+
+    assert _stage_bounds(152) == [64, 152]
+    assert _stage_bounds(40) == [40]
+    assert _stage_bounds(2000) == [64, 256, 1024, 2000]
+
+    config = tiny_sentence_config()
+    model = build_model(config)
+    t = 150  # l_max = 152 > 64 -> two stages
+    batch = tiny_batch(config, b=1, t=t, seed=3)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_train_state(config, model, jb)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    cfg = BeamSearchConfig(beam_size=4, ctc_weight=0.1)
+
+    enc = model.apply(variables, jb["videos"], jb["lengths"], det=True,
+                      method="encode")[0]
+    flen = model.apply(variables, jb["videos"], jb["lengths"],
+                       method="frame_lengths")[0]
+    ctc_logp = model.apply(variables, enc[None], method="ctc_log_probs")[0]
+    mem_kv = model.apply(variables, enc, method="decoder_precompute_memory")
+
+    def decoder_step(y_prev, pos, cache, memory, memory_mask):
+        return model.apply(variables, y_prev, pos, cache, memory,
+                           memory_mask, mem_kv=mem_kv, method="decoder_step")
+
+    def init_cache(w, l):
+        return model.apply(variables, w, l, method="decoder_init_cache")
+
+    for early in (True, False):
+        run = jax.jit(lambda grow, early=early: beam_search(
+            decoder_step, init_cache, enc, flen, ctc_logp,
+            config.model.labels, cfg, early_exit=early,
+            grow_cache=grow_cache if grow else None), static_argnums=0)
+        toks_s, n_s, score_s = run(True)
+        toks_u, n_u, score_u = run(False)
+        assert int(n_s) == int(n_u), f"early={early}"
+        np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_u))
+        np.testing.assert_allclose(float(score_s), float(score_u), rtol=1e-5)
