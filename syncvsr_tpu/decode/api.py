@@ -13,6 +13,16 @@ from syncvsr_tpu.ops.ctc import ctc_greedy_decode
 Array = jax.Array
 
 
+def _lm_grow(lm):
+    """Staged-decode growth hook for the LM cache: the TransformerLM's
+    stacked K/V shares the decoder cache layout ([W, layers, L, H, Dk]);
+    RNN states carry no length axis -> None (left untouched by staging)."""
+    from syncvsr_tpu.models.decoder import grow_cache
+    from syncvsr_tpu.models.lm import TransformerLM
+
+    return grow_cache if isinstance(lm, TransformerLM) else None
+
+
 def make_beam_decoder(model, variables: Dict[str, Any],
                       config: BeamSearchConfig,
                       max_len: Optional[int] = None,
@@ -68,7 +78,8 @@ def make_beam_decoder(model, variables: Dict[str, Any],
         return beam_search(decoder_step, init_cache, enc, flen, ctc_logp,
                            vocab, config, max_len=max_len,
                            lm_step=lm_step, lm_init=lm_init,
-                           early_exit=early_exit, grow_cache=grow_cache)
+                           early_exit=early_exit, grow_cache=grow_cache,
+                           grow_lm_state=_lm_grow(lm))
 
     def decode(videos: Array, length: Array):
         return decode_impl(variables, lm_variables, videos, length)
@@ -132,7 +143,8 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
             return beam_search(decoder_step, init_cache, enc, length, ctc_logp,
                                vocab, config, max_len=max_len,
                                lm_step=lm_step, lm_init=lm_init,
-                               grow_cache=grow_cache)
+                               grow_cache=grow_cache,
+                               grow_lm_state=_lm_grow(lm))
 
         enc = model.apply(variables, videos, lengths, det=True, method="encode")
         flens = model.apply(variables, videos, lengths, method="frame_lengths")

@@ -86,6 +86,7 @@ def beam_search(
     lm_init: Optional[Callable] = None,
     early_exit: bool = True,
     grow_cache: Optional[Callable[[Any, int], Any]] = None,
+    grow_lm_state: Optional[Callable[[Any, int], Any]] = None,
 ) -> Tuple[Array, Array, Array]:
     """Returns (best_seq [L] without sos/eos padding -1, best_len, best_score).
 
@@ -98,7 +99,11 @@ def beam_search(
     tens of tokens against max_len ~ T frames, so a trained model usually
     finishes inside the first stage and never touches the big buffers; even
     the no-early-exit worst case cuts ~30% of the cache traffic. Exact: the
-    step math never reads positions > pos, so capacity is unobservable."""
+    step math never reads positions > pos, so capacity is unobservable.
+    ``grow_lm_state`` does the same for a length-axis LM cache (the
+    TransformerLM's stacked K/V; RNN states have no length axis — pass
+    None) — it also lets the LM cache follow max_len past its fixed init
+    capacity."""
     w = config.beam_size
     p = min(config.pre_beam_size, vocab)
     t_enc = memory.shape[0]
@@ -128,13 +133,19 @@ def beam_search(
 
     bounds = _stage_bounds(l_max) if grow_cache is not None else [l_max]
 
+    lm0 = lm_init(w) if lm_init is not None else None
+    if lm0 is not None and grow_lm_state is not None:
+        # resize the (all-zeros) fresh LM cache to the first stage bound;
+        # later stages grow it alongside the decoder cache
+        lm0 = grow_lm_state(lm0, bounds[0])
+
     init = BeamState(
         alive_seq=jnp.full((w, l_max), -1, jnp.int32).at[:, 0].set(sos),
         alive_score=jnp.full((w,), LOGZERO, jnp.float32).at[0].set(0.0),
         alive_last=jnp.full((w,), sos, jnp.int32),
         cache=init_cache(w, bounds[0]),
         ctc=scorer.init_state(w),
-        lm_state=lm_init(w) if lm_init is not None else None,
+        lm_state=lm0,
         fin_seq=jnp.full((w, l_max), -1, jnp.int32),
         fin_score=jnp.full((w,), LOGZERO, jnp.float32),
         fin_len=jnp.zeros((w,), jnp.int32),
@@ -238,7 +249,10 @@ def beam_search(
     for k, bound in enumerate(bounds):
         if k:
             i_k, st = carry
-            carry = (i_k, st._replace(cache=grow_cache(st.cache, bound)))
+            st = st._replace(cache=grow_cache(st.cache, bound))
+            if st.lm_state is not None and grow_lm_state is not None:
+                st = st._replace(lm_state=grow_lm_state(st.lm_state, bound))
+            carry = (i_k, st)
         carry = jax.lax.while_loop(make_cond(bound), body, carry)
     final = carry[1]
     best = jnp.argmax(final.fin_score)

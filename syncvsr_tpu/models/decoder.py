@@ -159,18 +159,23 @@ class DecoderLayer(nn.Module):
 
 
 def grow_cache(cache: Dict[str, Array], new_len: int) -> Dict[str, Array]:
-    """Pad the stacked K/V cache's length axis (axis 2 of
-    [B, layers, Lmax, H, Dk]) to ``new_len``, preserving contents — the
-    staged-decode growth hook for beam_search(grow_cache=...). Pure layout
-    op; no parameters involved."""
-    def pad(c: Array) -> Array:
+    """Resize the stacked K/V cache's length axis (axis 2 of
+    [B, layers, Lmax, H, Dk]) to ``new_len`` — the staged-decode hook for
+    beam_search(grow_cache=...). Growth zero-pads (unwritten positions are
+    never attended: the step masks to <= pos); shrink slices (only used on
+    an all-zeros init). Pure layout op; no parameters involved. The
+    TransformerLM's stacked cache shares this layout, so the same hook
+    stages LM-fusion decoding."""
+    def resize(c: Array) -> Array:
         extra = new_len - c.shape[2]
-        if extra <= 0:
+        if extra == 0:
             return c
+        if extra < 0:
+            return c[:, :, :new_len]
         width = [(0, 0), (0, 0), (0, extra), (0, 0), (0, 0)]
         return jnp.pad(c, width)
 
-    return {k: pad(v) for k, v in cache.items()}
+    return {k: resize(v) for k, v in cache.items()}
 
 
 class TransformerDecoder(nn.Module):

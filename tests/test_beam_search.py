@@ -383,3 +383,62 @@ def test_staged_cache_decode_matches_unstaged():
         assert int(n_s) == int(n_u), f"early={early}"
         np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_u))
         np.testing.assert_allclose(float(score_s), float(score_u), rtol=1e-5)
+
+
+def test_staged_lm_fusion_matches_unstaged():
+    """LM-fusion decode with the staged (grown) TransformerLM cache equals
+    the fixed-capacity run, across the 64-slot stage boundary."""
+    import numpy as np
+    from syncvsr_tpu.engine import create_train_state
+    from syncvsr_tpu.models import build_model
+    from syncvsr_tpu.models.decoder import grow_cache
+    from syncvsr_tpu.models.lm import TransformerLM
+    from tests.test_sentence_model import tiny_batch, tiny_sentence_config
+
+    config = tiny_sentence_config()
+    model = build_model(config)
+    t = 150
+    batch = tiny_batch(config, b=1, t=t, seed=13)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_train_state(config, model, jb)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    vocab = config.model.labels
+    lm = TransformerLM(vocab=vocab, layers=2, dim=16, heads=2, hidden=32,
+                       embed_dim=8, max_len=t + 2)
+    lm_vars = {"params": lm.init(jax.random.PRNGKey(3),
+                                 jnp.zeros((1, 4), jnp.int32))["params"]}
+    cfg = BeamSearchConfig(beam_size=4, ctc_weight=0.1, lm_weight=0.4)
+
+    enc = model.apply(variables, jb["videos"], jb["lengths"], det=True,
+                      method="encode")[0]
+    flen = model.apply(variables, jb["videos"], jb["lengths"],
+                       method="frame_lengths")[0]
+    ctc_logp = model.apply(variables, enc[None], method="ctc_log_probs")[0]
+    mem_kv = model.apply(variables, enc, method="decoder_precompute_memory")
+
+    def decoder_step(y_prev, pos, cache, memory, memory_mask):
+        return model.apply(variables, y_prev, pos, cache, memory,
+                           memory_mask, mem_kv=mem_kv, method="decoder_step")
+
+    def init_cache(w, l):
+        return model.apply(variables, w, l, method="decoder_init_cache")
+
+    def lm_step(y_prev, pos, s):
+        return lm.apply(lm_vars, y_prev, pos, s, method="step")
+
+    def lm_init(w):
+        return lm.apply(lm_vars, w, method="init_cache")
+
+    def run(staged, early):
+        return jax.jit(lambda: beam_search(
+            decoder_step, init_cache, enc, flen, ctc_logp, vocab, cfg,
+            lm_step=lm_step, lm_init=lm_init, early_exit=early,
+            grow_cache=grow_cache if staged else None,
+            grow_lm_state=grow_cache if staged else None))()
+
+    for early in (True, False):
+        toks_s, n_s, score_s = run(True, early)
+        toks_u, n_u, score_u = run(False, early)
+        assert int(n_s) == int(n_u), f"early={early}"
+        np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_u))
+        np.testing.assert_allclose(float(score_s), float(score_u), rtol=1e-5)
