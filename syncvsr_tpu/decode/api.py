@@ -109,10 +109,9 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
 
     jit_kw = {}
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from syncvsr_tpu.parallel.mesh import batch_sharding, replicated
 
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
+        repl, data = replicated(mesh), batch_sharding(mesh)
         jit_kw = {"in_shardings": (repl, repl, data, data)}
 
     @partial(jax.jit, **jit_kw)
@@ -164,11 +163,10 @@ def make_greedy_ctc_decoder(model, variables: Dict[str, Any], mesh=None):
 
     jit_kw = {}
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from syncvsr_tpu.parallel.mesh import batch_sharding, replicated
 
-        jit_kw = {"in_shardings": (NamedSharding(mesh, P()),
-                                   NamedSharding(mesh, P("data")),
-                                   NamedSharding(mesh, P("data")))}
+        jit_kw = {"in_shardings": (replicated(mesh), batch_sharding(mesh),
+                                   batch_sharding(mesh))}
 
     @partial(jax.jit, **jit_kw)
     def decode_impl(variables, videos: Array, lengths: Array

@@ -45,6 +45,22 @@ from syncvsr_tpu.utils.metrics import AverageMeter, split_eval_weights
 from syncvsr_tpu.utils.text import WordErrorRate
 
 
+def _eval_mesh(config):
+    """Data-sharding mesh for sentence-level decode, or None.
+
+    Eval decoding shards only the batch (weights replicated), so a mesh
+    config that doesn't match the local device count — e.g. pod-training
+    overrides (mesh.data=8) reused on a 1-chip box — degrades to unsharded
+    decoding instead of aborting before the first utterance."""
+    try:
+        mesh = create_mesh(config.mesh.data, config.mesh.model)
+    except AssertionError as e:
+        print(f"eval: mesh config unusable here ({e}); decoding unsharded",
+              file=sys.stderr)
+        return None
+    return mesh if mesh.shape.get("data", 1) > 1 else None
+
+
 def main():
     overrides = parse_cli_overrides(sys.argv[1:])
     preset = overrides.pop("preset", None)
@@ -103,7 +119,12 @@ def main():
         variables["batch_stats"] = state.batch_stats
 
     if config.model.task == "word":
-        mesh = create_mesh(config.mesh.data, config.mesh.model)
+        try:
+            mesh = create_mesh(config.mesh.data, config.mesh.model)
+        except AssertionError as e:  # pod overrides on a smaller box
+            print(f"eval: mesh config unusable here ({e}); "
+                  "using all local devices", file=sys.stderr)
+            mesh = create_mesh()
         eval_step = build_eval_step(mesh)
         meter = AverageMeter()
         for batch in eval_loader:
@@ -226,6 +247,8 @@ def main():
 
         t_max = bucket_for_length(config.data.max_frames_val,
                                   config.data.length_buckets)
+        mesh = _eval_mesh(config)
+        n_data = mesh.shape["data"] if mesh is not None else 1
         decoders = {}
         for batch in eval_loader:
             batch = eval_transform(batch)
@@ -239,27 +262,26 @@ def main():
                 pad = [(0, 0), (0, want - v.shape[1])] + \
                       [(0, 0)] * (v.ndim - 2)
                 v = np.pad(v, pad)
-            if tf not in decoders:
-                # shard the bucket over the data axis when the batch divides
-                # the mesh — multi-chip decode; fall back to one chip else
-                mesh = create_mesh(config.mesh.data, config.mesh.model)
-                n_data = mesh.shape.get("data", 1)
-                decoders[tf] = make_batched_beam_decoder(
+            # shard the bucket over the data axis when THIS batch divides
+            # the mesh, else decode unsharded — decided per batch (buckets
+            # under data.max_batch_frames have different fixed batch sizes,
+            # and decode_pad=max funnels them all to one tf)
+            sharded = mesh is not None and v.shape[0] % n_data == 0
+            if (tf, sharded) not in decoders:
+                decoders[tf, sharded] = make_batched_beam_decoder(
                     model, variables, bs_config, max_len=tf,
                     lm=lm, lm_variables=lm_variables,
-                    mesh=mesh if v.shape[0] % n_data == 0 and n_data > 1
-                    else None)
-            toks, ns, scores = decoders[tf](jnp.asarray(v),
-                                            jnp.asarray(batch["lengths"]))
+                    mesh=mesh if sharded else None)
+            toks, ns, scores = decoders[tf, sharded](
+                jnp.asarray(v), jnp.asarray(batch["lengths"]))
             for i in valid_rows(batch):
                 hyp = tt.post_process(np.asarray(toks)[i][: int(ns[i])])
                 ref = tt.post_process(np.asarray(batch["labels"][i]))
                 record(ref, hyp, float(scores[i]))
     else:
-        mesh = create_mesh(config.mesh.data, config.mesh.model)
-        n_data = mesh.shape.get("data", 1)
-        decode = make_greedy_ctc_decoder(model, variables,
-                                         mesh=mesh if n_data > 1 else None)
+        mesh = _eval_mesh(config)
+        n_data = mesh.shape["data"] if mesh is not None else 1
+        decode = make_greedy_ctc_decoder(model, variables, mesh=mesh)
         decode_plain = None
         for batch in eval_loader:
             batch = eval_transform(batch)

@@ -127,3 +127,47 @@ def test_beam_batched_lm_fusion_matches_per_utt(monkeypatch, capsys, tmp_path):
     per_utt = hyps(SENT_ARGS + lm_args)
     batched = hyps(SENT_ARGS + lm_args + ['decode="beam_batched"'])
     assert batched == per_utt
+
+
+def _mixed_size_eval_loader(monkeypatch, sizes):
+    """Make the synthetic eval loader yield one batch per size in ``sizes``
+    (the real LRS loader's buckets have different fixed batch sizes under
+    data.max_batch_frames, and decode_pad=max funnels them to one tf)."""
+    from syncvsr_tpu.data import factory, synthetic
+
+    def mixed_iter(self):
+        for i, b in enumerate(sizes):
+            yield synthetic.sentence_batch(
+                self.config, batch_size=b,
+                num_frames=min(32, self.config.data.max_frames),
+                seed=(10_000 + i) if not self.train else i)
+
+    monkeypatch.setattr(factory.SyntheticLoader, "__iter__", mixed_iter)
+
+
+def test_beam_batched_mixed_batch_sizes_on_mesh(monkeypatch, capsys, tmp_path,
+                                                mesh8):
+    """Regression: a data-axis-sharded beam_batched decoder built for a
+    divisible batch (8 % 8 == 0) must not be reused for a later batch whose
+    size doesn't divide the mesh (3 % 8 != 0) — sharding is decided per
+    batch, so the second batch gets its own unsharded program instead of a
+    GSPMD divisibility ValueError mid-eval."""
+    _mixed_size_eval_loader(monkeypatch, sizes=(8, 3))
+    monkeypatch.chdir(tmp_path)
+    res = _run_main(monkeypatch, capsys,
+                    SENT_ARGS + ["beam_size=4", 'decode="beam_batched"'])
+    assert res["decode_compiles"] == 2  # one sharded + one unsharded program
+    assert np.isfinite(res["test/wer"])
+    assert len(open(tmp_path / "hypotheses.jsonl").read().splitlines()) == 11
+
+
+def test_eval_mesh_config_mismatch_degrades_unsharded(monkeypatch, capsys,
+                                                      tmp_path, mesh8):
+    """Pod-training mesh overrides (mesh.data not matching the local device
+    count) must not abort sentence-level eval: _eval_mesh falls back to
+    unsharded decoding (greedy and beam_batched)."""
+    monkeypatch.chdir(tmp_path)
+    for extra in (['decode="greedy"'], ['decode="beam_batched"', "beam_size=2"]):
+        res = _run_main(monkeypatch, capsys,
+                        SENT_ARGS + ["mesh.data=3"] + extra)
+        assert np.isfinite(res["test/wer"])
