@@ -211,11 +211,15 @@ class OptimConfig:
 
 @dataclass
 class MeshConfig:
-    """Device mesh. Word/sentence parity needs only a data axis; model axes are
-    available for larger configs (tensor-sharded encoder/decoder matmuls)."""
+    """Device mesh. Word/sentence parity needs only a data axis; model axes
+    are available for larger configs (tensor-sharded encoder/decoder
+    matmuls), and a seq axis shards clip time across chips (sequence
+    parallelism for the 1800-frame LRS buckets — frame count must divide
+    it; indivisible batches fall back to data-only sharding)."""
 
     data: int = -1                  # -1: all remaining devices
     model: int = 1
+    seq: int = 1
 
 
 @dataclass

@@ -68,6 +68,20 @@ def build_train_step(mesh: Optional[Mesh] = None, donate: bool = True,
         return jax.jit(train_step, donate_argnums=donate_argnums, **jit_kw)
     batch_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    if mesh.shape.get("seq", 1) > 1:
+        # sequence parallel (long clips): shard_batch commits time-like
+        # leaves as P("data", "seq") and the rest as P("data") — pass the
+        # batch sharding through (None = infer from the committed arrays)
+        # and keep the state replicated; GSPMD inserts the halo exchanges
+        # (frontend convs), K/V all-gathers (attention) and cross-shard
+        # statistics reductions (BN, CTC) along ``seq``.
+        return jax.jit(
+            train_step,
+            donate_argnums=donate_argnums,
+            in_shardings=(repl if mesh.shape.get("model", 1) == 1 else None,
+                          None),
+            **jit_kw,
+        )
     if mesh.shape.get("model", 1) > 1:
         # tensor-parallel: big matmul params (and their Adam moments) live
         # sharded on the model axis; XLA partitions the matmuls and inserts
@@ -107,6 +121,10 @@ def build_eval_step(mesh: Optional[Mesh] = None) -> Callable:
         return jax.jit(eval_step)
     batch_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    if mesh.shape.get("seq", 1) > 1:
+        # keep shard_batch's per-leaf (data, seq) placement (see train step)
+        return jax.jit(eval_step, in_shardings=(repl, None),
+                       out_shardings=repl)
     return jax.jit(eval_step, in_shardings=(repl, batch_sh), out_shardings=repl)
 
 

@@ -53,7 +53,8 @@ def _eval_mesh(config):
     overrides (mesh.data=8) reused on a 1-chip box — degrades to unsharded
     decoding instead of aborting before the first utterance."""
     try:
-        mesh = create_mesh(config.mesh.data, config.mesh.model)
+        mesh = create_mesh(config.mesh.data, config.mesh.model,
+                           config.mesh.seq)
     except AssertionError as e:
         print(f"eval: mesh config unusable here ({e}); decoding unsharded",
               file=sys.stderr)
@@ -120,7 +121,8 @@ def main():
 
     if config.model.task == "word":
         try:
-            mesh = create_mesh(config.mesh.data, config.mesh.model)
+            mesh = create_mesh(config.mesh.data, config.mesh.model,
+                               config.mesh.seq)
         except AssertionError as e:  # pod overrides on a smaller box
             print(f"eval: mesh config unusable here ({e}); "
                   "using all local devices", file=sys.stderr)

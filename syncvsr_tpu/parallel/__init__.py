@@ -2,6 +2,7 @@
 
 from syncvsr_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    batch_shardings,
     create_mesh,
     host_local_batch,
     replicated,

@@ -20,16 +20,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(data: int = -1, model: int = 1,
+def create_mesh(data: int = -1, model: int = 1, seq: int = 1,
                 devices: Optional[list] = None) -> Mesh:
+    """(data, seq, model) device mesh. ``model`` is innermost (its per-matmul
+    collectives are the most frequent, so they ride nearest-neighbor ICI),
+    ``seq`` next (activation/sequence parallelism for long clips), ``data``
+    outermost (gradient all-reduce once per step, DCN-tolerant)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+        assert n % (model * seq) == 0, \
+            f"{n} devices not divisible by model={model} x seq={seq}"
+        data = n // (model * seq)
+    assert data * model * seq == n, \
+        f"mesh {data}x{seq}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, seq, model)
+    return Mesh(arr, ("data", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -37,20 +43,52 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+# Batch keys whose axis 1 is (video/waveform) time — candidates for the
+# ``seq`` mesh axis. audio_tokens is deliberately absent: its length is
+# T*alignment+4 (config.py CodecConfig), which the +4 pad makes indivisible;
+# it stays data-sharded and GSPMD reshards it where the sync head needs it.
+_SEQ_KEYS = ("videos", "inputs")
+
+
+def batch_shardings(mesh: Mesh, batch: Any,
+                    seq_keys=_SEQ_KEYS) -> Any:
+    """Per-leaf NamedShardings for a batch dict: leading axis over ``data``;
+    for dict batches, time-like leaves (``seq_keys``) additionally shard
+    axis 1 over ``seq`` when the mesh has one and the length divides it
+    (indivisible leaves — e.g. LRW's T=29 — fall back to data-only)."""
+    seq = mesh.shape.get("seq", 1)
+    data_only = batch_sharding(mesh)
+    if seq <= 1 or not isinstance(batch, dict):
+        return jax.tree_util.tree_map(lambda _: data_only, batch)
+    seq_sh = NamedSharding(mesh, P("data", "seq"))
+
+    def spec(key, x):
+        if (key in seq_keys and getattr(x, "ndim", 0) >= 2
+                and x.shape[1] % seq == 0):
+            return seq_sh
+        return data_only
+
+    return {k: jax.tree_util.tree_map(lambda x, k=k: spec(k, x), v)
+            for k, v in batch.items()}
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host-local pytree of np/jnp arrays onto the mesh, sharded on the
-    leading axis. Single-process: a plain device_put. Multi-process: assemble a
-    global array from each process's local shard."""
-    sharding = batch_sharding(mesh)
+    """Place a host-local pytree of np/jnp arrays onto the mesh: leading axis
+    over ``data``, time axis of video/waveform leaves over ``seq`` when the
+    mesh has one (batch_shardings). Single-process: a plain device_put.
+    Multi-process: assemble a global array from each process's local shard
+    (each host owns full-length clips, so a ``seq`` axis must lie within a
+    host's devices — the create_mesh layout puts it there)."""
+    shardings = batch_shardings(mesh, batch)
     if jax.process_count() == 1:
-        return jax.device_put(batch, sharding)
+        return jax.tree_util.tree_map(jax.device_put, batch, shardings)
     return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
-        batch)
+        lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch, shardings)
 
 
 def host_local_batch(global_batch_size: int) -> int:

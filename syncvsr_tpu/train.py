@@ -69,7 +69,8 @@ def train(config: Config) -> Dict[str, float]:
         # multi-host pods: same call the reference makes at import
         # (LRW/landmark/src/main.py:4-8)
         jax.distributed.initialize()
-    mesh = create_mesh(config.mesh.data, config.mesh.model)
+    mesh = create_mesh(config.mesh.data, config.mesh.model,
+                       config.mesh.seq)
     model = build_model(config)
     train_loader, eval_loader = build_loaders(config)
 

@@ -94,3 +94,62 @@ def test_mesh_sharded_batched_decode_matches_single_device(mesh8):
     np.testing.assert_array_equal(np.asarray(toks_p), np.asarray(toks_s))
     np.testing.assert_allclose(np.asarray(scores_p), np.asarray(scores_s),
                                rtol=1e-5)
+
+
+def test_sequence_parallel_matches_dp(mesh8):
+    """A (data=4, seq=2) mesh shards clip time across chips (sequence
+    parallelism for long LRS buckets); GSPMD must reproduce the pure-DP
+    numerics — attention K/V gathers, conformer-conv halo exchange and the
+    cross-shard CTC/BN reductions are semantics-preserving."""
+    from syncvsr_tpu.data.synthetic import sentence_batch
+    from syncvsr_tpu.parallel import batch_shardings, create_mesh
+
+    from tests.test_sentence_model import tiny_sentence_config
+
+    config = tiny_sentence_config()
+    model = build_model(config)
+    batch = sentence_batch(config, num_frames=16)  # 16 % seq(2) == 0
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state_dp = create_train_state(config, model, jb)
+    state_sp = create_train_state(config, model, jb)
+
+    mesh_sp = create_mesh(data=4, seq=2)
+    sh = batch_shardings(mesh_sp, batch)
+    assert "seq" in str(sh["videos"].spec)        # time axis really sharded
+    assert "seq" not in str(sh["labels"].spec)    # label length is not time
+
+    step_dp = build_train_step(mesh8, donate=False)
+    step_sp = build_train_step(mesh_sp, donate=False)
+    for _ in range(2):
+        state_dp, m_dp = step_dp(state_dp, shard_batch(mesh8, batch))
+        state_sp, m_sp = step_sp(state_sp, shard_batch(mesh_sp, batch))
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_sp["loss"]),
+                               rtol=1e-5)
+    # atol 1e-5: re-sharding time re-associates f32 reductions (CTC scan,
+    # attention rows), so near-zero leaves (fresh biases ~1e-7 after 2 adam
+    # steps) carry O(1e-6) absolute noise where rtol is meaningless
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(state_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_seq_sharding_falls_back_on_indivisible_time(mesh8):
+    """LRW's T=29 doesn't divide a seq axis: batch_shardings must fall back
+    to data-only sharding (and the audio_tokens length T*align+4 never takes
+    the seq axis) instead of erroring."""
+    from syncvsr_tpu.data.synthetic import sentence_batch
+    from syncvsr_tpu.parallel import batch_shardings, create_mesh
+
+    from tests.test_sentence_model import tiny_sentence_config
+
+    config = tiny_sentence_config()
+    mesh_sp = create_mesh(data=4, seq=2)
+    odd = sentence_batch(config, num_frames=13)   # 13 % 2 != 0
+    sh = batch_shardings(mesh_sp, odd)
+    assert all("seq" not in str(s.spec) for s in sh.values())
+    even = sentence_batch(config, num_frames=16)
+    sh = batch_shardings(mesh_sp, even)
+    assert "seq" in str(sh["videos"].spec)
+    assert "seq" not in str(sh["audio_tokens"].spec)
