@@ -220,6 +220,11 @@ class MeshConfig:
     data: int = -1                  # -1: all remaining devices
     model: int = 1
     seq: int = 1
+    # ZeRO/FSDP: shard params + Adam moments over ``data`` (largest divisible
+    # dim per leaf, >= fsdp_min_size elements); XLA all-gathers weights at
+    # use and reduce-scatters grads. For models past one chip's HBM.
+    fsdp: bool = False
+    fsdp_min_size: int = 32768
 
 
 @dataclass

@@ -19,15 +19,18 @@ from syncvsr_tpu.engine.state import TrainState, current_lr
 
 def build_train_step(mesh: Optional[Mesh] = None, donate: bool = True,
                      aug_fn: Optional[Callable] = None,
-                     compiler_options: Optional[Dict[str, str]] = None
-                     ) -> Callable:
+                     compiler_options: Optional[Dict[str, str]] = None,
+                     fsdp: bool = False) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     ``aug_fn(rng, batch) -> batch`` runs on-device inside the compiled step
     (image augmentation for the video stacks). ``compiler_options`` are
     backend XLA flags forwarded per-compile (e.g.
     ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``) — per-workload tuning
-    without touching process-global XLA_FLAGS."""
+    without touching process-global XLA_FLAGS. ``fsdp``: the caller placed
+    the state via ``shard_state(..., fsdp=True)`` (params + Adam moments
+    ZeRO-sharded over ``data``); keep the committed shardings instead of
+    pinning the state replicated."""
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
         mixup_rng, new_mixup_rng = jax.random.split(state.mixup_rng)
@@ -75,18 +78,19 @@ def build_train_step(mesh: Optional[Mesh] = None, donate: bool = True,
         # and keep the state replicated; GSPMD inserts the halo exchanges
         # (frontend convs), K/V all-gathers (attention) and cross-shard
         # statistics reductions (BN, CTC) along ``seq``.
+        keep_state = fsdp or mesh.shape.get("model", 1) > 1
         return jax.jit(
             train_step,
             donate_argnums=donate_argnums,
-            in_shardings=(repl if mesh.shape.get("model", 1) == 1 else None,
-                          None),
+            in_shardings=(None if keep_state else repl, None),
             **jit_kw,
         )
-    if mesh.shape.get("model", 1) > 1:
-        # tensor-parallel: big matmul params (and their Adam moments) live
-        # sharded on the model axis; XLA partitions the matmuls and inserts
-        # the collectives. State shardings are shape-inferred per leaf, so
-        # pass UNSPECIFIED for the state and pin only the batch.
+    if fsdp or mesh.shape.get("model", 1) > 1:
+        # tensor-parallel and/or FSDP: big matmul params (and their Adam
+        # moments) live sharded on the model axis; under fsdp every large
+        # leaf is additionally ZeRO-scattered over data. State shardings
+        # are shape-inferred per leaf (shard_state committed them), so pass
+        # UNSPECIFIED for the state and pin only the batch.
         return jax.jit(
             train_step,
             donate_argnums=donate_argnums,
@@ -102,7 +106,7 @@ def build_train_step(mesh: Optional[Mesh] = None, donate: bool = True,
     )
 
 
-def build_eval_step(mesh: Optional[Mesh] = None) -> Callable:
+def build_eval_step(mesh: Optional[Mesh] = None, fsdp: bool = False) -> Callable:
     def eval_step(state: TrainState, batch: Dict[str, Any]):
         variables = {"params": state.params}
         if state.batch_stats:
@@ -121,11 +125,13 @@ def build_eval_step(mesh: Optional[Mesh] = None) -> Callable:
         return jax.jit(eval_step)
     batch_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    state_in = None if fsdp else repl  # fsdp: keep the committed ZeRO layout
     if mesh.shape.get("seq", 1) > 1:
         # keep shard_batch's per-leaf (data, seq) placement (see train step)
-        return jax.jit(eval_step, in_shardings=(repl, None),
+        return jax.jit(eval_step, in_shardings=(state_in, None),
                        out_shardings=repl)
-    return jax.jit(eval_step, in_shardings=(repl, batch_sh), out_shardings=repl)
+    return jax.jit(eval_step, in_shardings=(state_in, batch_sh),
+                   out_shardings=repl)
 
 
 def optax_global_norm(tree) -> jax.Array:

@@ -35,7 +35,7 @@ from syncvsr_tpu.ops.image import (
     build_sentence_eval_transform,
     build_word_aug,
 )
-from syncvsr_tpu.parallel import create_mesh, shard_batch
+from syncvsr_tpu.parallel import create_mesh, shard_batch, shard_state
 from syncvsr_tpu.utils import checkpoint as ckpt
 from syncvsr_tpu.utils.metrics import (
     AverageMeter,
@@ -108,12 +108,21 @@ def train(config: Config) -> Dict[str, float]:
         start_step = int(state.step)
         print(f"[train] resumed from {latest} @ step {start_step}")
 
+    if config.mesh.fsdp:
+        # ZeRO-scatter params + Adam moments over the data axis BEFORE the
+        # first step so the committed layout (not a replicated copy) is what
+        # the jit sees; restore/pretrained loads above land replicated and
+        # this reshards them once.
+        state = shard_state(mesh, state, fsdp=True,
+                            fsdp_min_size=config.mesh.fsdp_min_size)
+
     opts = ({"xla_tpu_scoped_vmem_limit_kib": str(config.train.scoped_vmem_kib)}
             if config.train.scoped_vmem_kib and
             jax.default_backend() in ("tpu", "axon") else None)
     train_step = build_train_step(mesh, donate=config.train.donate,
+                                  fsdp=config.mesh.fsdp,
                                   aug_fn=aug_fn, compiler_options=opts)
-    eval_step = build_eval_step(mesh)
+    eval_step = build_eval_step(mesh, fsdp=config.mesh.fsdp)
 
     os.makedirs(config.train.ckpt_dir, exist_ok=True)
     logger = MetricLogger(path=os.path.join(config.train.ckpt_dir, "metrics.jsonl")

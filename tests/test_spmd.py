@@ -70,6 +70,77 @@ def test_tensor_parallel_matches_dp(mesh8):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_fsdp_matches_dp(mesh8):
+    """ZeRO/FSDP: params + Adam moments scattered over the data axis must
+    reproduce pure-DP numerics (XLA all-gathers weights at use and
+    reduce-scatters grads — same math, different residency)."""
+    from syncvsr_tpu.parallel import shard_state
+
+    config = tiny_landmark_config()
+    model = build_model(config)
+    batch = word_batch(config)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state_dp = create_train_state(config, model, jb)
+    state_fs = create_train_state(config, model, jb)
+    state_fs = shard_state(mesh8, state_fs, fsdp=True, fsdp_min_size=256)
+
+    # params AND both Adam moment trees must actually be scattered
+    def n_scattered(tree):
+        return sum(1 for x in jax.tree_util.tree_leaves(tree)
+                   if hasattr(x, "sharding") and "data" in str(x.sharding.spec))
+    assert n_scattered(state_fs.params) > 0
+    assert n_scattered(state_fs.opt_state) >= 2 * n_scattered(state_fs.params)
+
+    step_dp = build_train_step(mesh8, donate=False)
+    step_fs = build_train_step(mesh8, donate=False, fsdp=True)
+    for _ in range(3):
+        state_dp, m_dp = step_dp(state_dp, shard_batch(mesh8, batch))
+        state_fs, m_fs = step_fs(state_fs, shard_batch(mesh8, batch))
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_fs["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(state_fs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # the updated state must STAY scattered (no silent re-replication)
+    assert n_scattered(state_fs.params) > 0
+
+
+def test_fsdp_composes_with_tensor_parallel(mesh8):
+    """(data=4, model=2) + fsdp: a leaf can carry BOTH axes (model on its
+    trailing dim, data on another); numerics must still match DP."""
+    from syncvsr_tpu.parallel import create_mesh, shard_state, state_shardings
+
+    config = tiny_landmark_config()
+    model = build_model(config)
+    batch = word_batch(config)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state_dp = create_train_state(config, model, jb)
+    state_mx = create_train_state(config, model, jb)
+    mesh_mx = create_mesh(data=4, model=2)
+    sh = state_shardings(mesh_mx, state_mx, min_dim=16, fsdp=True,
+                         fsdp_min_size=256)
+    both = [s for s in jax.tree_util.tree_leaves(sh)
+            if "model" in str(s.spec) and "data" in str(s.spec)]
+    assert both, "no leaf carries model and data axes together"
+    state_mx = shard_state(mesh_mx, state_mx, min_dim=16, fsdp=True,
+                           fsdp_min_size=256)
+
+    step_dp = build_train_step(mesh8, donate=False)
+    step_mx = build_train_step(mesh_mx, donate=False, fsdp=True)
+    for _ in range(2):
+        state_dp, m_dp = step_dp(state_dp, shard_batch(mesh8, batch))
+        state_mx, m_mx = step_mx(state_mx, shard_batch(mesh_mx, batch))
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_mx["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(state_mx.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_mesh_sharded_batched_decode_matches_single_device(mesh8):
     """make_batched_beam_decoder(mesh=...) shards the bucket over the data
     axis; hypotheses and scores must match the unsharded program exactly."""
