@@ -16,7 +16,9 @@ tail parse keeps it as the headline metric).
 Relay-proofing (round-4): the parent process never imports jax. Each
 workload runs in a subprocess that probes the backend under a watchdog —
 a hung relay costs ~3 min, not the driver's whole budget — and the parent
-enforces a global wall budget (SYNCVSR_BENCH_BUDGET_S, default 2100 s).
+enforces a global wall budget (SYNCVSR_BENCH_BUDGET_S, default 2700 s —
+a mid-slow relay day measured lrw 524s + lrs3 642s, and landmark overran
+a 600 s cap, so 2100 s starved the aux lines).
 The headline workload runs FIRST (so a mid-run budget exhaustion can't
 starve it) but its line is printed last.
 
@@ -45,7 +47,7 @@ _RUN_ORDER = ("lrw", "lrs3", "landmark", "audio")
 # In-process debug order: headline last.
 _PRINT_ORDER = ("landmark", "audio", "lrs3", "lrw")
 # Per-workload attempt caps (healthy-relay first compile is 2-5 min).
-_CAPS = {"lrw": 1500, "lrs3": 1200, "landmark": 600, "audio": 600}
+_CAPS = {"lrw": 1500, "lrs3": 1200, "landmark": 900, "audio": 600}
 
 
 # ---------------------------------------------------------------------------
@@ -324,7 +326,7 @@ def _run_child(workload: str, timeout_s: float):
 
 
 def main() -> None:
-    budget_s = float(os.environ.get("SYNCVSR_BENCH_BUDGET_S", "2100"))
+    budget_s = float(os.environ.get("SYNCVSR_BENCH_BUDGET_S", "2700"))
     deadline = time.monotonic() + budget_s
     results: dict = {}
     relay_dead = False
