@@ -23,6 +23,10 @@ import sys
 
 import jax
 import jax.numpy as jnp
+
+from syncvsr_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 from syncvsr_tpu.config import PRESETS, Config, parse_cli_overrides

@@ -141,6 +141,22 @@ def state_shardings(mesh: Mesh, state, min_dim: int = 512,
 
 def shard_state(mesh: Mesh, state, min_dim: int = 512, fsdp: bool = False,
                 fsdp_min_size: int = 2 ** 15):
-    """Place a TrainState according to state_shardings."""
-    return jax.device_put(
-        state, state_shardings(mesh, state, min_dim, fsdp, fsdp_min_size))
+    """Place a TrainState according to state_shardings. Under ``fsdp``,
+    big leaves with no data-divisible dim silently stay replicated — which
+    defeats the memory goal the user asked for — so the total replicated
+    bytes among fsdp-eligible leaves are reported once (process 0)."""
+    shardings = state_shardings(mesh, state, min_dim, fsdp, fsdp_min_size)
+    if fsdp and mesh.shape["data"] > 1 and jax.process_index() == 0:
+        leftover = sum(
+            leaf.size * np.dtype(leaf.dtype).itemsize
+            for leaf, sh in zip(jax.tree_util.tree_leaves(state),
+                                jax.tree_util.tree_leaves(shardings))
+            if hasattr(leaf, "ndim") and leaf.size >= fsdp_min_size
+            and "data" not in sh.spec)
+        if leftover >= 2**20:  # below 1 MiB the replication is immaterial
+            print(f"[fsdp] {leftover / 2**20:.1f} MiB of >= {fsdp_min_size}"
+                  "-element leaves have no data-divisible dim and stay "
+                  "REPLICATED on every chip (per-chip memory unchanged for "
+                  "them); consider padding those dims to a multiple of "
+                  f"data={mesh.shape['data']}")
+    return jax.device_put(state, shardings)

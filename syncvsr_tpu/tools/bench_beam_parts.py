@@ -17,6 +17,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+from syncvsr_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 

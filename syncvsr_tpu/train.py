@@ -22,6 +22,10 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+
+from syncvsr_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 from syncvsr_tpu.config import PRESETS, Config, parse_cli_overrides
@@ -187,15 +191,24 @@ def train(config: Config) -> Dict[str, float]:
                 if jax.process_index() == 0:
                     print(f"[eval {step}] " + " ".join(
                         f"{k.split('/')[-1]}={v:.4f}" for k, v in val.items()))
-                    if val.get(f"val/{monitor}", -np.inf) > best:
-                        best = val[f"val/{monitor}"]
+                # best-tracking runs on ALL processes (val metrics are
+                # replicated, so every host takes the same branch) because
+                # gather_for_save is a collective under multi-host FSDP/TP —
+                # only the write itself is process-0
+                if val.get(f"val/{monitor}", -np.inf) > best:
+                    best = val[f"val/{monitor}"]
+                    to_save = ckpt.gather_for_save(state)
+                    if jax.process_index() == 0:
                         saver.save_msgpack(
                             os.path.join(config.train.ckpt_dir, "best.msgpack"),
-                            {"params": jax.device_get(state.params),
-                             "batch_stats": jax.device_get(state.batch_stats or {}),
+                            {"params": jax.device_get(to_save.params),
+                             "batch_stats": jax.device_get(
+                                 to_save.batch_stats or {}),
                              "step": step, monitor: best})
-            if step % config.train.ckpt_every == 0 and jax.process_index() == 0:
-                saver.save(config.train.ckpt_dir, state, step)
+            if step % config.train.ckpt_every == 0:
+                to_save = ckpt.gather_for_save(state)
+                if jax.process_index() == 0:
+                    saver.save(config.train.ckpt_dir, to_save, step)
             if config.optim.total_steps and step >= config.optim.total_steps:
                 break
         else:
@@ -209,8 +222,9 @@ def train(config: Config) -> Dict[str, float]:
             logger.log(tail, step)
     final = run_eval()
     logger.log(final, step)
+    to_save = ckpt.gather_for_save(state)
     if jax.process_index() == 0:
-        saver.save(config.train.ckpt_dir, state, step)
+        saver.save(config.train.ckpt_dir, to_save, step)
     saver.wait()
     logger.close()
     return final

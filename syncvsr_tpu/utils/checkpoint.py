@@ -72,6 +72,35 @@ def _state_payload(state) -> Dict[str, Any]:
     }
 
 
+def gather_for_save(state):
+    """Host-complete TrainState for checkpointing under multi-process
+    sharded state (FSDP/ZeRO scatter over ``data``, or tensor-parallel
+    leaves spanning hosts).
+
+    With leaves scattered across processes' devices, ``jax.device_get`` on
+    process 0 alone raises ("array spans non-addressable devices") — and no
+    other process enters the save path to serve a collective. So EVERY
+    process calls this BEFORE the process-0 guard (it is a collective when
+    anything is scattered): non-fully-replicated jax.Array leaves are
+    ``process_allgather``'d to host numpy on all hosts; replicated leaves
+    pass through untouched (``device_get`` later reads a local shard).
+    Single-process: returns ``state`` unchanged at zero cost."""
+    if jax.process_count() == 1:
+        return state
+
+    from jax.experimental import multihost_utils
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_replicated:
+            # identical tree => identical leaf order on every process, so
+            # the collectives line up
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return x
+
+    return jax.tree_util.tree_map(leaf, state)
+
+
 def save_train_state(ckpt_dir: str, state, step: int, keep: int = 5) -> str:
     """Writes <ckpt_dir>/step_<N>.msgpack with params/opt/batch_stats/rngs."""
     os.makedirs(ckpt_dir, exist_ok=True)

@@ -125,6 +125,71 @@ def sentence_mode(pid: int, nproc: int, coord: str, root: str,
         pid, ",".join(f"{l:.6f}" for l in losses)), flush=True)
 
 
+def fsdp_ckpt_mode(pid: int, nproc: int, coord: str, ckpt_dir: str):
+    """FSDP checkpointing across hosts: params/Adam moments are scattered
+    over BOTH processes' devices, so process 0 cannot device_get them alone
+    (ADVICE r4 medium). Every process calls gather_for_save (a collective),
+    process 0 writes, then verifies the file round-trips bit-exact."""
+    _init(pid, nproc, coord)
+
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from syncvsr_tpu.config import lrw_landmark_config
+    from syncvsr_tpu.data.synthetic import word_batch
+    from syncvsr_tpu.engine import build_train_step, create_train_state
+    from syncvsr_tpu.models import build_model
+    from syncvsr_tpu.parallel import create_mesh, replicated, shard_batch, \
+        shard_state
+    from syncvsr_tpu.utils import checkpoint as ckpt
+
+    cfg = lrw_landmark_config().override(**{
+        "model.encoder.layers": 2, "model.encoder.dim": 32,
+        "model.encoder.heads": 2, "model.frontend.input_features": 12,
+        "model.labels": 11, "model.codec.audio_vocab_size": 17,
+        "model.dtype": "float32", "data.batch_size": 8, "data.num_frames": 6,
+        "optim.total_steps": 100, "optim.warmup_steps": 2})
+
+    mesh = create_mesh()  # 8 devices over 2 processes, all on "data"
+    model = build_model(cfg)
+    global_batch = word_batch(cfg, 8, seed=0)
+    local = {k: v[pid * 4:(pid + 1) * 4] for k, v in global_batch.items()}
+
+    state = create_train_state(
+        cfg, model, {k: jnp.asarray(v) for k, v in global_batch.items()})
+    state = jax.device_put(jax.device_get(state), replicated(mesh))
+    state = shard_state(mesh, state, fsdp=True, fsdp_min_size=256)
+
+    # the scenario that used to crash: leaves spanning non-addressable devices
+    scattered = [x for x in jax.tree_util.tree_leaves(state.params)
+                 if not x.is_fully_replicated]
+    assert scattered, "fsdp scattered nothing — test is vacuous"
+    assert not scattered[0].is_fully_addressable, \
+        "scattered leaf is host-local — test is vacuous"
+
+    step = build_train_step(mesh, donate=False, fsdp=True)
+    state, metrics = step(state, shard_batch(mesh, local))
+    assert np.isfinite(float(metrics["loss"]))
+
+    host_state = ckpt.gather_for_save(state)  # collective on ALL processes
+    if pid == 0:
+        path = ckpt.save_train_state(ckpt_dir, host_state, step=1)
+        payload = ckpt.load_msgpack(path)
+        for a, b in zip(
+                jax.tree_util.tree_leaves(jax.device_get(host_state.params)),
+                jax.tree_util.tree_leaves(payload["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    digest = hashlib.sha256(b"".join(
+        np.ascontiguousarray(np.asarray(x)).tobytes()
+        for x in jax.tree_util.tree_leaves(
+            jax.device_get(host_state.params)))).hexdigest()
+    print(f"MP_RESULT pid={pid} params_sha={digest}", flush=True)
+
+
 def main():
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
@@ -133,6 +198,8 @@ def main():
     if mode == "sentence":
         sentence_mode(pid, nproc, coord, sys.argv[5],
                       packed=len(sys.argv) > 6 and sys.argv[6] == "packed")
+    elif mode == "fsdp_ckpt":
+        fsdp_ckpt_mode(pid, nproc, coord, sys.argv[5])
     else:
         word_mode(pid, nproc, coord)
 

@@ -49,25 +49,36 @@ def _env(**overrides):
     return env
 
 
-def test_cpu_mesh_ready_decision(monkeypatch):
-    sys.path.insert(0, REPO)
-    try:
-        import __graft_entry__ as ge
-    finally:
-        sys.path.remove(REPO)
-    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
-    monkeypatch.setenv(
-        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-    assert ge._cpu_mesh_ready(8)
-    assert ge._cpu_mesh_ready(4)
-    assert not ge._cpu_mesh_ready(16)
-    monkeypatch.setenv("JAX_PLATFORMS", "axon")
-    assert not ge._cpu_mesh_ready(8)
-    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
-    monkeypatch.setenv("XLA_FLAGS", "")
-    assert not ge._cpu_mesh_ready(2)
-    monkeypatch.delenv("JAX_PLATFORMS")
-    assert not ge._cpu_mesh_ready(2)
+# sitecustomize that emulates the round-4 driver failure: the env LOOKS
+# CPU-mesh-ready (JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count)
+# but a sitecustomize on PYTHONPATH defeats the forced device count at
+# interpreter start — exactly what /root/.axon_site did to MULTICHIP_r04
+# (reproduced there: 1 device despite the flags). The hermetic child strips
+# PYTHONPATH, so this never loads there.
+_CLOBBER_SITE = """
+import os
+if os.environ.get("SYNCVSR_TEST_POISON"):
+    os.environ.pop("XLA_FLAGS", None)
+"""
+
+
+def test_dryrun_r4_driver_env_goes_green(tmp_path):
+    """The ambient env must never be trusted: even when JAX_PLATFORMS/
+    XLA_FLAGS claim a ready CPU mesh, dryrun_multichip must re-exec into the
+    stripped-PYTHONPATH child (MULTICHIP_r04 postmortem)."""
+    poison = _poison_dir(tmp_path, _CLOBBER_SITE)
+    env = _env(
+        PYTHONPATH=poison,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        SYNCVSR_TEST_POISON="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "__graft_entry__.py"),
+         "multichip", "2"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(2) dp: ok" in proc.stdout
 
 
 def test_dryrun_reexecs_without_touching_relay(tmp_path):
@@ -125,6 +136,70 @@ def test_bench_init_error_fails_fast():
     assert out.count("init-error") == 2  # first try + the one retry
     assert "skipped (relay unavailable)" in out
     assert not [ln for ln in out.splitlines() if ln.startswith("{")]
+
+
+def test_bench_sigterm_flushes_held_headline():
+    """A driver-level SIGTERM mid-aux-workload must flush the held lrw
+    headline as the final JSON line before dying (BENCH_r04 postmortem: a
+    parent kill during audio lost the completed lrw measurement)."""
+    import signal
+    import time
+
+    env = _env(
+        SYNCVSR_BENCH_FAKE="lrw=ok,lrs3=ok,landmark=hang,audio=ok",
+        SYNCVSR_BENCH_BUDGET_S="300",
+        # the parent dies on SIGTERM without reaping the hanging child;
+        # bound the orphan's lifetime
+        SYNCVSR_BENCH_FAKE_HANG_S="60",
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    # read until both fast workloads completed and landmark is hanging
+    out_lines = []
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            break
+        out_lines.append(line)
+        if line.startswith("# bench lrs3: ok"):
+            break
+    assert any(ln.startswith("# bench lrw: ok") for ln in out_lines), out_lines
+    time.sleep(1.0)  # let the parent enter the hanging landmark child wait
+    proc.send_signal(signal.SIGTERM)
+    rest, _ = proc.communicate(timeout=30)
+    out = "".join(out_lines) + rest
+    json_lines = [json.loads(ln) for ln in out.splitlines()
+                  if ln.startswith("{")]
+    metrics = [ln["metric"] for ln in json_lines]
+    # lrs3 streamed immediately; the held lrw line was flushed ON the kill
+    assert metrics[-1] == "lrw_fake", out
+    assert "lrs3_fake" in metrics, out
+    assert proc.returncode == 128 + signal.SIGTERM, proc.returncode
+
+
+def test_bench_budget_prioritizes_headline_and_exits_in_time():
+    """With a budget too small for every workload, the headline still runs
+    (first), an overrunning aux workload is timed out, the rest are skipped
+    with diagnostics, and the parent exits 0 on its own — never relying on
+    the driver's kill (BENCH_r04 postmortem: budget > driver cap = rc 124)."""
+    env = _env(
+        SYNCVSR_BENCH_FAKE="lrw=ok,lrs3=hang,landmark=ok,audio=ok",
+        SYNCVSR_BENCH_BUDGET_S="12",
+        SYNCVSR_BENCH_MIN_REMAINING_S="6",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "# bench lrs3: timeout" in out, out
+    assert "skipped (budget exhausted" in out, out
+    json_lines = [json.loads(ln) for ln in out.splitlines()
+                  if ln.startswith("{")]
+    assert json_lines[-1]["metric"] == "lrw_fake", out
 
 
 @pytest.mark.slow

@@ -122,3 +122,131 @@ def test_length_mask():
     assert np.asarray(m).tolist() == [[True, True, False],
                                       [False, False, False],
                                       [True, True, True]]
+
+
+# ---------------------------------------------------------------------------
+# forced alignment (reference espnet ctc.py:181-245 forced_align)
+# ---------------------------------------------------------------------------
+
+def _np_forced_align(lp, y, blank=0):
+    """Independent per-utterance numpy Viterbi over the CTC trellis (written
+    fresh from the lattice definition; same tie-breaking order as the op:
+    stay < advance1 < advance2, terminal last-blank preferred on ties)."""
+    y_int = [blank]
+    for l in y:
+        y_int += [int(l), blank]
+    S, T = len(y_int), lp.shape[0]
+    delta = np.full((T, S), -np.inf)
+    psi = np.zeros((T, S), int)
+    delta[0, 0] = lp[0, y_int[0]]
+    if S > 1:
+        delta[0, 1] = lp[0, y_int[1]]
+    for t in range(1, T):
+        for s in range(S):
+            cands, offs = [delta[t - 1, s]], [0]
+            if s >= 1:
+                cands.append(delta[t - 1, s - 1])
+                offs.append(1)
+            if s >= 2 and y_int[s] != blank and y_int[s] != y_int[s - 2]:
+                cands.append(delta[t - 1, s - 2])
+                offs.append(2)
+            k = int(np.argmax(cands))
+            delta[t, s] = cands[k] + lp[t, y_int[s]]
+            psi[t, s] = s - offs[k]
+    s = S - 1 if S == 1 or delta[T - 1, S - 1] >= delta[T - 1, S - 2] \
+        else S - 2
+    states = [s]
+    for t in range(T - 1, 0, -1):
+        s = psi[t, s]
+        states.append(s)
+    states.reverse()
+    return [y_int[st] for st in states]
+
+
+def test_forced_align_matches_numpy_viterbi():
+    from syncvsr_tpu.ops.ctc import ctc_forced_align
+
+    rng = np.random.RandomState(0)
+    b, t, v, n = 5, 12, 7, 4
+    logits = rng.randn(b, t, v).astype(np.float32) * 2.0
+    tl = np.array([12, 9, 12, 7, 12])
+    ll = np.array([4, 3, 1, 2, 0])
+    labels = rng.randint(1, v, (b, n))
+    labels[1, 2] = labels[1, 1]  # repeated label: exercises the skip rule
+
+    got = np.asarray(ctc_forced_align(
+        jnp.asarray(logits), jnp.asarray(tl), jnp.asarray(labels),
+        jnp.asarray(ll)))
+    for i in range(b):
+        lp = jax.nn.log_softmax(jnp.asarray(logits[i, :tl[i]])).__array__()
+        want = _np_forced_align(lp, labels[i, :ll[i]])
+        assert got[i, :tl[i]].tolist() == want, f"row {i}"
+        assert (got[i, tl[i]:] == -1).all()
+
+
+def test_forced_align_collapses_to_transcript():
+    """The alignment must be a valid CTC path: collapsing repeats + blanks
+    reproduces the transcript exactly, for every row of a random batch."""
+    from syncvsr_tpu.ops.ctc import ctc_forced_align
+
+    rng = np.random.RandomState(7)
+    b, t, v, n = 8, 20, 9, 6
+    logits = rng.randn(b, t, v).astype(np.float32)
+    tl = rng.randint(2 * n + 1, t + 1, b)
+    ll = rng.randint(0, n + 1, b)
+    labels = rng.randint(1, v, (b, n))
+
+    got = np.asarray(ctc_forced_align(
+        jnp.asarray(logits), jnp.asarray(tl), jnp.asarray(labels),
+        jnp.asarray(ll)))
+    for i in range(b):
+        path = got[i, :tl[i]]
+        collapsed = []
+        prev = 0
+        for s in path:
+            if s != 0 and s != prev:
+                collapsed.append(int(s))
+            prev = s
+        assert collapsed == labels[i, :ll[i]].tolist(), f"row {i}"
+
+
+def test_forced_align_is_max_probability_path():
+    """Exhaustive check at tiny size: among ALL monotone blank-interleaved
+    state paths consistent with the transcript, the op returns one with the
+    maximum total log-probability."""
+    from syncvsr_tpu.ops.ctc import ctc_forced_align
+
+    rng = np.random.RandomState(3)
+    t, v = 6, 5
+    labels = [2, 4]
+    logits = rng.randn(1, t, v).astype(np.float32) * 1.5
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits[0])))
+    y_int = [0, 2, 0, 4, 0]
+
+    def paths(s, seq):
+        if len(seq) == t:
+            if s >= len(y_int) - 2:
+                yield list(seq)
+            return
+        for ds in (0, 1, 2):
+            ns = s + ds
+            if ns >= len(y_int):
+                continue
+            if ds == 2 and (y_int[ns] == 0 or y_int[ns] == y_int[ns - 2]):
+                continue
+            seq.append(ns)
+            yield from paths(ns, seq)
+            seq.pop()
+
+    best = -np.inf
+    for start in (0, 1):
+        for p in paths(start, [start]):
+            score = sum(lp[i, y_int[s]] for i, s in enumerate(p))
+            best = max(best, score)
+
+    got = np.asarray(ctc_forced_align(
+        jnp.asarray(logits), jnp.asarray([t]),
+        jnp.asarray([labels]), jnp.asarray([2])))[0]
+    got_score = sum(lp[i, tok] if tok == 0 else lp[i, tok]
+                    for i, tok in enumerate(got))
+    np.testing.assert_allclose(got_score, best, rtol=1e-5)

@@ -98,6 +98,25 @@ def _assert_lockstep(outs):
 
 
 @pytest.mark.slow
+def test_two_process_fsdp_checkpoint(tmp_path):
+    """Multi-host FSDP checkpointing: params/Adam moments scattered across
+    both processes' devices must still produce a complete, round-trippable
+    checkpoint — gather_for_save allgathers on every process, process 0
+    writes (regression for ADVICE r4: device_get on process 0 alone raised
+    'array spans non-addressable devices')."""
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    outs = _spawn(["fsdp_ckpt", str(ckpt_dir)])
+    results = [l for out in outs for l in out.splitlines()
+               if l.startswith("MP_RESULT")]
+    assert len(results) == 2, outs
+    shas = sorted(r.split("params_sha=")[1] for r in results)
+    # both hosts assembled the SAME global params from their shards
+    assert shas[0] == shas[1], results
+    assert (ckpt_dir / "step_1.msgpack").exists()
+
+
+@pytest.mark.slow
 def test_two_process_sentence_buckets(tmp_path):
     """LRS bucket batching in lockstep across 2 hosts: both processes build
     the schedule from the shared length index, emit identical bucket shapes
