@@ -24,14 +24,22 @@ class CodecConfig:
 
     vq-wav2vec: alignment=4, groups=2, vocab=320 — wav2vec2: alignment=2,
     groups=2, vocab=640 (reference LRW/video/src/lightning.py:57-67). Audio
-    tokens come pre-tokenized from the released pkls; the quantizers are never
-    run on-device.
+    tokens come pre-tokenized from the released pkls by default; set
+    ``in_step`` to quantize raw waveforms on-device inside the compiled step
+    (ops/codec.py, vq only).
     """
 
     name: str = "vq"  # "vq" | "wav2vec2"
     audio_alignment: int = 4
     vq_groups: int = 2
     audio_vocab_size: int = 320
+    # in-step tokenization (reference e2e_asr_transformer.py:167-174): the
+    # loader emits raw windowed waveforms and the train/eval steps quantize
+    # them on-device with the frozen vq-wav2vec at ``ckpt`` (ops/codec.py).
+    # Off by default — offline tokens (tools/tokenize_audio.py) are the
+    # right call for a fixed dataset.
+    in_step: bool = False
+    ckpt: str = ""
 
     @staticmethod
     def vq() -> "CodecConfig":

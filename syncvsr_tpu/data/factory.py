@@ -185,11 +185,18 @@ class LRSBucketLoader:
                 train=shuffle, noise=noise,
                 snr_target=config.data.snr_target,
                 seed=config.train.seed + (0 if shuffle else 10_000))
+        emit_audio = bool(config.model.codec.in_step) and \
+            config.data.modality == "video"
         if config.data.packed:
             # packed blob + index (tools/pack_dataset.py --task sentence):
             # the index's per-clip frame counts are the schedule ground truth
             from syncvsr_tpu.data.packed_lrs import PackedLRSDataset
 
+            if emit_audio:
+                raise ValueError(
+                    "model.codec.in_step requires the pkl tree (packed blobs "
+                    "don't carry raw audio) — set data.packed=false or "
+                    "tokenize offline with tools/tokenize_audio.py")
             self.ds = PackedLRSDataset(
                 os.path.join(config.data.root, config.data.dataset.upper()),
                 split, self.tt, codec=config.model.codec.name,
@@ -206,7 +213,8 @@ class LRSBucketLoader:
                                  max_frames=max_frames,
                                  length_distribution=length_dist,
                                  modality=config.data.modality,
-                                 audio_transform=audio_transform)
+                                 audio_transform=audio_transform,
+                                 emit_audio=emit_audio)
             # ground truth for the schedule: per-clip frame counts (sidecar
             # .npz, built once by scanning the pkls, cached next to the split)
             from syncvsr_tpu.data.lrs import load_length_index

@@ -41,6 +41,10 @@ class LRSDataset:
     # (reference av_dataset.py:112-120), 640 samples per video frame
     modality: str = "video"
     audio_transform: Optional[object] = None
+    # video modality + in-step tokenization (model.codec.in_step): also emit
+    # the raw windowed waveform so the train step can quantize it on-device
+    # (reference e2e_asr_transformer.py:167-174)
+    emit_audio: bool = False
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -110,12 +114,18 @@ class LRSDataset:
             inputs = decode_clip(jpegs[start:end]).astype(np.uint8)
             length = end - start
 
-        return {
+        sample = {
             "videos": inputs,
             "labels": self.text_transform.tokenize(text),
             "audio_tokens": tokens.astype(np.int32),
             "lengths": np.int32(length),
         }
+        if self.emit_audio and self.modality == "video":
+            from syncvsr_tpu.data.audio import to_waveform
+
+            sample["audio"] = to_waveform(
+                data["audio"])[start * 640:end * 640].astype(np.float32)
+        return sample
 
     def _window_text(self, data, start, end, text) -> str:
         """Re-select transcript words overlapping the frame window using
@@ -279,6 +289,11 @@ class BucketBatcher:
         tokens = np.full((n, bucket * self.audio_alignment, self.vq_groups),
                          -1, np.int32)
         lengths = np.zeros((n,), np.int32)
+        # in-step tokenization: raw windowed waveform rides along, zero-padded
+        # to the bucket like the reference's batch audio (the quantizer then
+        # sees padded batches exactly as e2e_asr_transformer.py:195 does)
+        emit_audio = "audio" in samples[0]
+        audio = np.zeros((n, bucket * 640), np.float32) if emit_audio else None
         for i, s in enumerate(samples):
             if audio_mode:
                 ns = min(int(s["lengths"]), bucket * 640)
@@ -293,5 +308,11 @@ class BucketBatcher:
             labels[i, : len(lab)] = lab
             tok = s["audio_tokens"][: t * self.audio_alignment]
             tokens[i, : tok.shape[0], : tok.shape[1]] = tok
-        return {"videos": videos, "labels": labels, "audio_tokens": tokens,
-                "lengths": lengths, "sample_weight": sample_weight}
+            if emit_audio:
+                wav = s["audio"][: bucket * 640]
+                audio[i, : wav.shape[0]] = wav
+        batch = {"videos": videos, "labels": labels, "audio_tokens": tokens,
+                 "lengths": lengths, "sample_weight": sample_weight}
+        if emit_audio:
+            batch["audio"] = audio
+        return batch

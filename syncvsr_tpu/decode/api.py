@@ -156,6 +156,45 @@ def make_batched_beam_decoder(model, variables: Dict[str, Any],
     return decode
 
 
+def make_forced_aligner(model, variables: Dict[str, Any], mesh=None):
+    """Batched CTC forced alignment of ground-truth transcripts: the
+    most-likely frame-level token path (blank between emissions), -1 past
+    each clip's frame length. Role of the reference CTC class's
+    ``forced_align`` (espnet/nets/pytorch_backend/ctc.py:181-245), batched
+    and compiled; with ``mesh``, the batch shards over the data axis.
+
+    Returns fn(videos [B,T,...], lengths [B], labels [B,N] padded with -1)
+    -> align [B, Tf] int32."""
+    from syncvsr_tpu.ops.ctc import ctc_forced_align
+
+    jit_kw = {}
+    if mesh is not None:
+        from syncvsr_tpu.parallel.mesh import batch_sharding, replicated
+
+        b = batch_sharding(mesh)
+        jit_kw = {"in_shardings": (replicated(mesh), b, b, b)}
+
+    @partial(jax.jit, **jit_kw)
+    def align_impl(variables, videos: Array, lengths: Array,
+                   labels: Array) -> Array:
+        import jax.numpy as jnp
+
+        enc = model.apply(variables, videos, lengths, det=True,
+                          method="encode")
+        flens = model.apply(variables, videos, lengths,
+                            method="frame_lengths")
+        ctc_logp = model.apply(variables, enc, method="ctc_log_probs")
+        label_lengths = (labels >= 0).sum(axis=1)
+        # log_softmax is idempotent, so feeding log-probs is exact
+        return ctc_forced_align(ctc_logp, flens, jnp.maximum(labels, 0),
+                                label_lengths)
+
+    def align(videos: Array, lengths: Array, labels: Array):
+        return align_impl(variables, videos, lengths, labels)
+
+    return align
+
+
 def make_greedy_ctc_decoder(model, variables: Dict[str, Any], mesh=None):
     """Batched greedy CTC decoding (no decoder/LM) — the fast path. With
     ``mesh``, the batch is sharded over the data axis (see

@@ -284,6 +284,43 @@ def main():
                 hyp = tt.post_process(np.asarray(toks)[i][: int(ns[i])])
                 ref = tt.post_process(np.asarray(batch["labels"][i]))
                 record(ref, hyp, float(scores[i]))
+    elif decode_mode == "align":
+        # CTC forced alignment of the ground-truth transcripts (the reference
+        # CTC class's forced_align capability, espnet ctc.py:181-245 — no
+        # reference config calls it; exposed here as its own mode). Emits
+        # per-frame token ids + [token, start, end) segments per utterance.
+        from syncvsr_tpu.decode.api import make_forced_aligner
+
+        mesh = _eval_mesh(config)
+        n_data = mesh.shape["data"] if mesh is not None else 1
+        align = make_forced_aligner(model, variables, mesh=mesh)
+        align_plain = None
+        for batch in eval_loader:
+            batch = eval_transform(batch)
+            if n_data > 1 and batch["videos"].shape[0] % n_data != 0:
+                if align_plain is None:
+                    align_plain = make_forced_aligner(model, variables)
+                al_fn = align_plain
+            else:
+                al_fn = align
+            al = np.asarray(al_fn(jnp.asarray(batch["videos"]),
+                                  jnp.asarray(batch["lengths"]),
+                                  jnp.asarray(batch["labels"])))
+            for i in valid_rows(batch):
+                frames = al[i][al[i] >= 0]
+                segments = []
+                for t0, tok in enumerate(frames.tolist()):
+                    if tok != 0 and (not segments or segments[-1][0] != tok
+                                     or segments[-1][2] != t0):
+                        segments.append([tok, t0, t0 + 1])
+                    elif tok != 0:
+                        segments[-1][2] = t0 + 1
+                ref = tt.post_process(np.asarray(batch["labels"][i]))
+                hyp_records.append({
+                    "ref": ref,
+                    "alignment": frames.tolist(),
+                    "segments": [[tt.post_process(np.asarray([tok])), a, b]
+                                 for tok, a, b in segments]})
     else:
         mesh = _eval_mesh(config)
         n_data = mesh.shape["data"] if mesh is not None else 1
@@ -308,10 +345,14 @@ def main():
     with open("hypotheses.jsonl", "w") as f:
         for r in hyp_records:
             f.write(json.dumps(r) + "\n")
-    summary = {f"{split}/wer": wer.wer,
-               f"{split}/edit_distance": wer.total_edit_distance,
-               f"{split}/words": wer.total_length,
-               "hypotheses": "hypotheses.jsonl"}
+    if decode_mode == "align":
+        summary = {f"{split}/aligned_utts": len(hyp_records),
+                   "hypotheses": "hypotheses.jsonl"}
+    else:
+        summary = {f"{split}/wer": wer.wer,
+                   f"{split}/edit_distance": wer.total_edit_distance,
+                   f"{split}/words": wer.total_length,
+                   "hypotheses": "hypotheses.jsonl"}
     if decode_mode == "beam_batched":
         summary["decode_compiles"] = len(decoders)
     print(json.dumps(summary))

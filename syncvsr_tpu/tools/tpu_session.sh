@@ -3,14 +3,17 @@
 #
 # The axon relay dies for hours at a time (CLAUDE.md round 3/4 notes), so
 # when it IS up, capture everything in one go. Order matters:
-#   1. bench.py            — the 4 driver JSON lines (headline evidence)
+#   1. bench.py            — the 4 driver JSON lines (headline evidence).
+#      With the persistent compile cache (utils/compile_cache.py) warm,
+#      a rerun costs minutes, not an hour — run it FIRST to warm the cache
+#      the driver's own run will hit.
 #   2. bench_beam_parts    — per-component decode step split (stacked cache)
 #   3. bench_decode trained— early-exit decode with real trained weights
 #   4. bench_bn ab stem128 — the sanctioned architecture A/B (lrs3, then lrw)
 #   5. bisect_bs16         — LAST: a crash wedges the relay 20-40 min
 # Each step runs in its own process (one relay session per measurement) with
-# a hard timeout; results append to $LOG. Stop reading at the first relay
-# wedge — rerun later steps in the next window.
+# a hard timeout; results stream to $LOG as they happen (no tail buffering —
+# round-4's log lost step 2+ output to a `| tail` that never flushed).
 #
 # Usage:  bash syncvsr_tpu/tools/tpu_session.sh [log_file] [start_step]
 set -u
@@ -22,7 +25,7 @@ run() { # run <step> <timeout_s> <desc> <cmd...>
   local step=$1 t=$2 desc=$3; shift 3
   [ "$step" -lt "$START" ] && return 0
   echo "=== [$step] $desc ($(date +%H:%M:%S)) ===" | tee -a "$LOG"
-  timeout "$t" "$@" 2>&1 | tail -40 | tee -a "$LOG"
+  timeout "$t" "$@" 2>&1 | tee -a "$LOG"
   local rc=${PIPESTATUS[0]}
   echo "--- [$step] rc=$rc ---" | tee -a "$LOG"
   if [ "$rc" -ne 0 ] && [ "$step" -le 2 ]; then
@@ -31,7 +34,8 @@ run() { # run <step> <timeout_s> <desc> <cmd...>
   fi
 }
 
-run 1 2400 "bench.py 4-line capture" python bench.py
+run 1 1800 "bench.py 4-line capture (warm-cache path the driver will hit)" \
+    python bench.py
 run 2 1500 "beam decode component split" \
     python -m syncvsr_tpu.tools.bench_beam_parts 500 40
 run 3 2400 "trained-weights early-exit decode, T=500" \

@@ -86,7 +86,23 @@ def train(config: Config) -> Dict[str, float]:
         eval_transform = build_sentence_eval_transform(config.data,
                                                        config.data.dataset)
         aug_fn = build_sentence_aug(config.data)
+    tokenize_fn = None
+    if config.model.codec.in_step:
+        # frozen vq-wav2vec quantization inside the compiled step (reference
+        # e2e_asr_transformer.py:167-174); codec weights are closure
+        # constants, never touched by the optimizer
+        from syncvsr_tpu.ops.codec import load_vq_codec, make_instep_tokenizer
+
+        codec_params, geom = load_vq_codec(config.model.codec.ckpt)
+        tokenize_fn = jax.jit(make_instep_tokenizer(
+            codec_params, alignment=config.model.codec.audio_alignment,
+            strides=geom["strides"]))
+        base_aug = aug_fn
+        aug_fn = (lambda rng, b: base_aug(rng, tokenize_fn(b))) \
+            if base_aug is not None else (lambda rng, b: tokenize_fn(b))
     init_example = eval_transform(example)
+    if tokenize_fn is not None and "audio" in init_example:
+        init_example = jax.device_get(tokenize_fn(init_example))
     state = create_train_state(
         config, model, {k: jnp.asarray(v) for k, v in init_example.items()})
     if jax.process_index() == 0:
@@ -151,6 +167,8 @@ def train(config: Config) -> Dict[str, float]:
         em = AverageMeter()
         for batch in eval_loader:
             batch = eval_transform(batch)
+            if tokenize_fn is not None and "audio" in batch:
+                batch = tokenize_fn(batch)
             m = jax.device_get(eval_step(state, shard_batch(mesh, batch)))
             m, w = split_eval_weights(m)
             em.update(m, weight=w)

@@ -24,9 +24,17 @@ _DEFAULT_DIR = os.path.join(_REPO_ROOT, ".jax_cache")
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
     """Idempotent; call after ``import jax`` anywhere compiles happen.
-    Returns the cache dir, or None when disabled/unsupported."""
+    Returns the cache dir, or None when disabled/unsupported.
+
+    TPU/relay-only: XLA:CPU persists AOT executables stamped with the
+    compile machine's CPU features, and reloading them floods stderr with
+    machine-feature-mismatch errors (SIGILL risk) on this box — and CPU
+    compiles are cheap anyway. Decided from JAX_PLATFORMS without touching
+    the backend (initializing it here could block on a sick relay)."""
     env = os.environ.get("SYNCVSR_COMPILE_CACHE", "")
     if env == "0":
+        return None
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return None
     path = path or (env if env not in ("", "1") else _DEFAULT_DIR)
     try:

@@ -361,6 +361,66 @@ def convert_lrs_e2e(sd: Dict[str, Any], adim: int, aheads: int, dlayers: int,
 
 
 # ---------------------------------------------------------------------------
+# vq-wav2vec codec (in-step tokenizer, e2e_asr_transformer.py:138-144)
+# ---------------------------------------------------------------------------
+
+def convert_vq_wav2vec(sd: Dict[str, Any], args=None
+                       ) -> Tuple[Dict[str, Any], Dict[str, int]]:
+    """fairseq vq-wav2vec (kmeans) state dict -> ``ops.codec`` param tree.
+
+    Keys (fairseq wav2vec.py): ``feature_extractor.conv_layers.{i}.0``
+    (Conv1d, no bias), ``.2`` (GroupNorm(1, C) affine),
+    ``vector_quantizer.projection.0`` (grouped 1x1 Conv1d),
+    ``.projection.1`` (GroupNorm(G, C)), ``vector_quantizer.embedding``
+    [V, G(or 1 with combine_groups), d]. Returns (params, geometry)."""
+    groups = int(getattr(args, "vq_groups", 2)) if args is not None else 2
+    num_vars = int(getattr(args, "vq_vars", 320)) if args is not None else 320
+
+    p: Dict[str, Any] = {}
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.0.weight" in sd:
+        base = f"feature_extractor.conv_layers.{i}"
+        layer = {"kernel": _np(sd[f"{base}.0.weight"]).transpose(2, 1, 0)}
+        if f"{base}.2.weight" in sd:  # affine GroupNorm
+            layer["scale"] = _np(sd[f"{base}.2.weight"])
+            layer["bias"] = _np(sd[f"{base}.2.bias"])
+        p[f"conv_{i}"] = layer
+        i += 1
+
+    w = _np(sd["vector_quantizer.projection.0.weight"])   # [Co, Ci/G, 1]
+    co, ci_g = w.shape[0], w.shape[1]
+    so = co // groups
+    # grouped 1x1 conv -> per-group [in, out] kernels: output group g reads
+    # input group g (torch grouped-conv contract)
+    kernel = np.stack([w[g * so:(g + 1) * so, :, 0].T for g in range(groups)])
+    proj: Dict[str, Any] = {"kernel": kernel}             # [G, Ci/G, Co/G]
+    if "vector_quantizer.projection.1.weight" in sd:
+        proj["scale"] = _np(sd["vector_quantizer.projection.1.weight"])
+        proj["bias"] = _np(sd["vector_quantizer.projection.1.bias"])
+    p["projection"] = proj
+
+    emb = _np(sd["vector_quantizer.embedding"])           # [V, G|1, d]
+    if emb.shape[1] == 1 and groups > 1:                  # combine_groups
+        emb = np.broadcast_to(emb, (emb.shape[0], groups, emb.shape[2]))
+    p["embedding"] = np.ascontiguousarray(emb)
+
+    import ast
+
+    spec = ast.literal_eval(getattr(
+        args, "conv_feature_layers",
+        "[(512, 10, 5), (512, 8, 4), (512, 4, 2), (512, 4, 2), (512, 4, 2),"
+        " (512, 1, 1), (512, 1, 1), (512, 1, 1)]")) if args is not None \
+        else [(512, 10, 5), (512, 8, 4), (512, 4, 2), (512, 4, 2),
+              (512, 4, 2), (512, 1, 1), (512, 1, 1), (512, 1, 1)]
+    geometry = {"groups": groups, "num_vars": num_vars,
+                "var_dim": emb.shape[2], "conv_layers": i,
+                "strides": tuple(s for _, _, s in spec)}
+    assert ci_g * groups == co, (ci_g, groups, co)
+    assert len(spec) == i, (len(spec), i)
+    return p, geometry
+
+
+# ---------------------------------------------------------------------------
 # espnet language models (shallow-fusion scorers, lrs3.yaml:64-71)
 # ---------------------------------------------------------------------------
 

@@ -171,3 +171,20 @@ def test_eval_mesh_config_mismatch_degrades_unsharded(monkeypatch, capsys,
         res = _run_main(monkeypatch, capsys,
                         SENT_ARGS + ["mesh.data=3"] + extra)
         assert np.isfinite(res["test/wer"])
+
+
+def test_evaluate_sentence_align(monkeypatch, capsys, tmp_path):
+    """decode=align: CTC forced alignment of the ground-truth transcripts —
+    every utterance gets a frame-level path whose collapse equals the ref
+    tokens (the reference forced_align capability, espnet ctc.py:181-245)."""
+    monkeypatch.chdir(tmp_path)
+    res = _run_main(monkeypatch, capsys, SENT_ARGS + ['decode="align"'])
+    assert res["test/aligned_utts"] > 0
+    records = [json.loads(l) for l in open("hypotheses.jsonl")]
+    assert len(records) == res["test/aligned_utts"]
+    for r in records:
+        assert "alignment" in r and "segments" in r
+        # collapsing the alignment reproduces the transcript's text
+        toks = [t for t, a, b in r["segments"]]
+        assert " ".join(toks).split() == r["ref"].split() or \
+            "".join(toks) == r["ref"].replace(" ", "")
