@@ -1,9 +1,10 @@
 """Checkpointing and parameter surgery.
 
 Covers the reference's three mechanisms (SURVEY.md §5):
- 1. best/periodic full-TrainState checkpoints — orbax when importable, with a
-    msgpack fallback (the landmark stack's flax.serialization single-file
-    format, LRW/landmark/src/main.py:48-50);
+ 1. best/periodic full-TrainState checkpoints — single-file msgpack (the
+    landmark stack's flax.serialization format, LRW/landmark/src/main.py:48-50),
+    written atomically (tmp + fsync + rename) and asynchronously
+    (AsyncCheckpointer), multi-host-safe via gather_for_save;
  2. partial warm starts: merge the intersection of a pretrained tree into
     fresh params (LRW/landmark/src/utils.py:59-71);
  3. state-dict surgery: key-prefix renames when transferring frontends between
