@@ -13,8 +13,17 @@ Variants (ordered by information gain):
     frontend  — conv3d stem + ResNet trunk only, fwd+bwd (sum-sq loss)
     encoder   — frontend + conformer encoder (encode), fwd+bwd
     model     — full model losses fwd+bwd, NO optimizer update, no donation
+    ctc       — encode + CTC loss only, fwd+bwd (r5: model crashed, so the
+    att       — encode + decoder CE only, fwd+bwd   fault is in one of the
+    sync      — encode + sync head only, fwd+bwd    three loss branches)
     full      — the complete train step (known crasher at bs16; control)
     bs12      — full step at batch 12 (probe between the good/bad sizes)
+
+Round-5 findings so far (docs/tpu_session_r05.log): frontend OK 96.2 ms,
+encoder OK 149.8 ms, model CRASH — the kernel fault lives in the loss
+subgraphs (decoder-CE / CTC / sync head), not the conv or conformer stacks.
+Round-3 ruled out the Pallas sync kernel (crash reproduced with
+SYNCVSR_SYNC_PALLAS=0).
 
 Success prints one JSON line with ms/step; a worker crash is the signal.
 """
@@ -87,8 +96,40 @@ def main():
         config, model, {k: jnp.asarray(v) for k, v in init.items()})
     device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
 
-    if variant in ("frontend", "encoder", "model"):
+    if variant in ("frontend", "encoder", "model", "ctc", "att", "sync"):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def one_loss(m, batch, which):
+            """encode + exactly ONE of the three loss branches (the model
+            variant's crash means the fault is among them)."""
+            from syncvsr_tpu.ops.ctc import ctc_loss
+            from syncvsr_tpu.ops.masking import (
+                add_sos_eos,
+                label_smoothing_kl,
+                length_mask,
+            )
+
+            x = m.encode(batch["videos"], batch["lengths"], det=False)
+            t = x.shape[1]
+            lengths = m.frame_lengths(batch["videos"], batch["lengths"])
+            pad_mask = length_mask(lengths, t)
+            if which == "sync":
+                at = batch["audio_tokens"][:, : t * m.cfg.codec.audio_alignment]
+                fv = jnp.repeat(pad_mask, m.cfg.codec.audio_alignment, axis=1)
+                mt = jnp.where(fv[:, :, None], at, -1)
+                return m.audio_classifier(x.astype(jnp.float32), mt,
+                                          chunk=128 if t > 256 else None)
+            if which == "ctc":
+                ll = (batch["labels"] != -1).sum(axis=1)
+                logits = m.ctc_head(x.astype(jnp.float32))
+                return ctc_loss(logits, lengths, batch["labels"], ll,
+                                blank_id=0)
+            memory = m.proj_decoder(x) if m.proj_decoder is not None else x
+            ys_in, ys_out, ys_lengths = add_sos_eos(batch["labels"], m.sos,
+                                                    m.eos, -1)
+            dl = m.decoder(ys_in, ys_lengths, memory, pad_mask, det=False)
+            return label_smoothing_kl(dl, ys_out, m.cfg.labels,
+                                      m.cfg.lsm_weight, ignore_id=-1)
 
         @jax.jit
         def step(variables, batch):
@@ -108,6 +149,12 @@ def main():
                         mutable=["batch_stats"], rngs={"dropout": rng},
                         method="encode")
                     return jnp.sum(feats.astype(jnp.float32) ** 2)
+                if variant in ("ctc", "att", "sync"):
+                    out, _ = model.apply(
+                        v, batch, variant, mutable=["batch_stats"],
+                        rngs={"mixup": rng, "dropout": rng},
+                        method=one_loss)
+                    return out
                 out, _ = model.apply(
                     v, **batch, det=False, mutable=["batch_stats"],
                     rngs={"mixup": rng, "dropout": rng})
