@@ -16,12 +16,16 @@ Variants (ordered by information gain):
     ctc       — encode + CTC loss only, fwd+bwd (r5: model crashed, so the
     att       — encode + decoder CE only, fwd+bwd   fault is in one of the
     sync      — encode + sync head only, fwd+bwd    three loss branches)
+    dec       — encode + decoder fwd+bwd, sum-sq on logits (att minus the KL)
+    lsm       — encode + label-smoothing KL on ctc_head logits (no decoder)
     full      — the complete train step (known crasher at bs16; control)
     bs12      — full step at batch 12 (probe between the good/bad sizes)
 
 Round-5 findings so far (docs/tpu_session_r05.log): frontend OK 96.2 ms,
-encoder OK 149.8 ms, model CRASH — the kernel fault lives in the loss
-subgraphs (decoder-CE / CTC / sync head), not the conv or conformer stacks.
+encoder OK 149.8 ms, ctc OK 150.8 ms, model CRASH, **att CRASH** — the
+kernel fault lives in the attention-decoder branch (decoder stack or the
+label-smoothing KL at [16, U, 5049]); ctc exonerates a plain vocab-5049
+projection + grads at bs16. `dec` vs `lsm` splits the att branch.
 Round-3 ruled out the Pallas sync kernel (crash reproduced with
 SYNCVSR_SYNC_PALLAS=0).
 
@@ -96,7 +100,8 @@ def main():
         config, model, {k: jnp.asarray(v) for k, v in init.items()})
     device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
 
-    if variant in ("frontend", "encoder", "model", "ctc", "att", "sync"):
+    if variant in ("frontend", "encoder", "model", "ctc", "att", "sync", "dec",
+                   "lsm"):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         def one_loss(m, batch, which):
@@ -124,10 +129,20 @@ def main():
                 logits = m.ctc_head(x.astype(jnp.float32))
                 return ctc_loss(logits, lengths, batch["labels"], ll,
                                 blank_id=0)
+            if which == "lsm":
+                # the KL/softmax at [B, t, 5049] WITHOUT the decoder stack
+                # (ctc_head projection itself exonerated by the ctc variant)
+                logits = m.ctc_head(x.astype(jnp.float32))
+                ys = batch["labels"][:, : logits.shape[1]]
+                return label_smoothing_kl(logits, ys, m.cfg.labels,
+                                          m.cfg.lsm_weight, ignore_id=-1)
             memory = m.proj_decoder(x) if m.proj_decoder is not None else x
             ys_in, ys_out, ys_lengths = add_sos_eos(batch["labels"], m.sos,
                                                     m.eos, -1)
             dl = m.decoder(ys_in, ys_lengths, memory, pad_mask, det=False)
+            if which == "dec":
+                # decoder stack fwd+bwd WITHOUT the label-smoothing KL
+                return jnp.sum(dl.astype(jnp.float32) ** 2)
             return label_smoothing_kl(dl, ys_out, m.cfg.labels,
                                       m.cfg.lsm_weight, ignore_id=-1)
 
@@ -149,7 +164,7 @@ def main():
                         mutable=["batch_stats"], rngs={"dropout": rng},
                         method="encode")
                     return jnp.sum(feats.astype(jnp.float32) ** 2)
-                if variant in ("ctc", "att", "sync"):
+                if variant in ("ctc", "att", "sync", "dec", "lsm"):
                     out, _ = model.apply(
                         v, batch, variant, mutable=["batch_stats"],
                         rngs={"mixup": rng, "dropout": rng},
