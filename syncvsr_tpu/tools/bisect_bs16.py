@@ -18,14 +18,18 @@ Variants (ordered by information gain):
     sync      — encode + sync head only, fwd+bwd    three loss branches)
     dec       — encode + decoder fwd+bwd, sum-sq on logits (att minus the KL)
     lsm       — encode + label-smoothing KL on ctc_head logits (no decoder)
+    att_barrier — att with an optimization_barrier between decoder logits
+                and the KL (fusion-boundary probe / candidate workaround)
     full      — the complete train step (known crasher at bs16; control)
     bs12      — full step at batch 12 (probe between the good/bad sizes)
 
 Round-5 findings so far (docs/tpu_session_r05.log): frontend OK 96.2 ms,
-encoder OK 149.8 ms, ctc OK 150.8 ms, model CRASH, **att CRASH** — the
-kernel fault lives in the attention-decoder branch (decoder stack or the
-label-smoothing KL at [16, U, 5049]); ctc exonerates a plain vocab-5049
-projection + grads at bs16. `dec` vs `lsm` splits the att branch.
+encoder OK 149.8 ms, ctc OK 150.8 ms, dec OK 160.8 ms, model CRASH,
+**att CRASH** — the kernel fault needs the label-smoothing KL applied to
+DECODER logits: the decoder stack alone (sum-sq loss) is fine, and ctc
+exonerates a plain vocab-5049 projection + grads at bs16. `lsm` tests the
+KL at att's exact [16, U, 5049] shape without the decoder; `att_barrier`
+tests whether an unfusable boundary between the two is a workaround.
 Round-3 ruled out the Pallas sync kernel (crash reproduced with
 SYNCVSR_SYNC_PALLAS=0).
 
@@ -101,7 +105,7 @@ def main():
     device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
 
     if variant in ("frontend", "encoder", "model", "ctc", "att", "sync", "dec",
-                   "lsm"):
+                   "lsm", "att_barrier"):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         def one_loss(m, batch, which):
@@ -130,11 +134,13 @@ def main():
                 return ctc_loss(logits, lengths, batch["labels"], ll,
                                 blank_id=0)
             if which == "lsm":
-                # the KL/softmax at [B, t, 5049] WITHOUT the decoder stack
-                # (ctc_head projection itself exonerated by the ctc variant)
-                logits = m.ctc_head(x.astype(jnp.float32))
-                ys = batch["labels"][:, : logits.shape[1]]
-                return label_smoothing_kl(logits, ys, m.cfg.labels,
+                # the KL/softmax at att's exact [B, U, 5049] shape and
+                # targets, WITHOUT the decoder stack (the vocab-5049
+                # projection itself is exonerated by the ctc variant)
+                _, ys_out, _ = add_sos_eos(batch["labels"], m.sos, m.eos, -1)
+                logits = m.ctc_head(
+                    x.astype(jnp.float32)[:, : ys_out.shape[1]])
+                return label_smoothing_kl(logits, ys_out, m.cfg.labels,
                                           m.cfg.lsm_weight, ignore_id=-1)
             memory = m.proj_decoder(x) if m.proj_decoder is not None else x
             ys_in, ys_out, ys_lengths = add_sos_eos(batch["labels"], m.sos,
@@ -143,6 +149,12 @@ def main():
             if which == "dec":
                 # decoder stack fwd+bwd WITHOUT the label-smoothing KL
                 return jnp.sum(dl.astype(jnp.float32) ** 2)
+            if which == "att_barrier":
+                # att, but forbid XLA from fusing the KL into the decoder
+                # output projection — if dec and lsm pass alone and this
+                # passes too, the fused boundary is the faulting kernel AND
+                # the barrier is the production workaround for bs16.
+                dl = jax.lax.optimization_barrier(dl)
             return label_smoothing_kl(dl, ys_out, m.cfg.labels,
                                       m.cfg.lsm_weight, ignore_id=-1)
 
@@ -164,7 +176,8 @@ def main():
                         mutable=["batch_stats"], rngs={"dropout": rng},
                         method="encode")
                     return jnp.sum(feats.astype(jnp.float32) ** 2)
-                if variant in ("ctc", "att", "sync", "dec", "lsm"):
+                if variant in ("ctc", "att", "sync", "dec", "lsm",
+                               "att_barrier"):
                     out, _ = model.apply(
                         v, batch, variant, mutable=["batch_stats"],
                         rngs={"mixup": rng, "dropout": rng},
