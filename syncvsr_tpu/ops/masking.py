@@ -59,6 +59,8 @@ def label_smoothing_kl(logits: Array, targets: Array, vocab: int,
     log-softmax predictions and the smoothed target distribution, summed over
     tokens, divided by batch size (or token count when normalize_length).
     ``sample_weight`` [B] excludes repeat-padded rows from the average."""
+    import os
+
     b = logits.shape[0]
     flat_logits = logits.reshape(-1, vocab).astype(jnp.float32)
     flat_t = targets.reshape(-1)
@@ -67,13 +69,28 @@ def label_smoothing_kl(logits: Array, targets: Array, vocab: int,
 
     confidence = 1.0 - smoothing
     low = smoothing / (vocab - 1)
-    logq = jax.nn.log_softmax(flat_logits, axis=-1)
-
-    # sum_c p_c (log p_c - log q_c) without materializing one-hots twice
     logp_low = jnp.where(low > 0, jnp.log(jnp.maximum(low, 1e-30)), 0.0)
     logp_conf = jnp.log(jnp.maximum(confidence, 1e-30))
-    q_t = jnp.take_along_axis(logq, safe_t[:, None], axis=-1)[:, 0]
-    kl = (low * (logp_low * vocab - logq.sum(-1))
+
+    if os.environ.get("SYNCVSR_LSM_V2"):
+        # Reassociated form: never materializes log_softmax [N, V].
+        # logq.sum(-1) == logits.sum(-1) - V*lse and logq[t] == logits[t]-lse,
+        # so the fwd needs only lse/row-sum/gather of the raw logits and the
+        # bwd is one softmax — a different XLA kernel mix from the logq form
+        # (probe for the bs16 TPU codegen fault; also saves the [N, V] f32
+        # residual).
+        lse = jax.nn.logsumexp(flat_logits, axis=-1)
+        logit_t = jnp.take_along_axis(
+            flat_logits, safe_t[:, None], axis=-1)[:, 0]
+        q_t = logit_t - lse
+        logq_sum = flat_logits.sum(-1) - vocab * lse
+    else:
+        logq = jax.nn.log_softmax(flat_logits, axis=-1)
+        q_t = jnp.take_along_axis(logq, safe_t[:, None], axis=-1)[:, 0]
+        logq_sum = logq.sum(-1)
+
+    # sum_c p_c (log p_c - log q_c) without materializing one-hots twice
+    kl = (low * (logp_low * vocab - logq_sum)
           + confidence * logp_conf - low * logp_low
           - (confidence - low) * q_t)
     kl = jnp.where(ignore, 0.0, kl)

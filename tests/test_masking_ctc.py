@@ -110,6 +110,39 @@ def test_label_smoothing_matches_direct():
     np.testing.assert_allclose(float(got0), ce / b, rtol=1e-5)
 
 
+def test_label_smoothing_v2_matches_v1():
+    """SYNCVSR_LSM_V2 (reassociated, no log_softmax materialization) must be
+    numerically identical to the logq form — value AND gradient — across the
+    weighting paths."""
+    import os
+
+    rng = np.random.RandomState(7)
+    b, l, v = 3, 5, 37
+    logits = jnp.asarray(rng.randn(b, l, v).astype(np.float32) * 4)
+    targets = jnp.asarray(rng.randint(-1, v, (b, l)))
+    w = jnp.asarray([1.0, 0.0, 1.0])
+
+    cases = [
+        dict(smoothing=0.1),
+        dict(smoothing=0.0),
+        dict(smoothing=0.1, normalize_length=True),
+        dict(smoothing=0.1, sample_weight=w),
+        dict(smoothing=0.1, normalize_length=True, sample_weight=w),
+    ]
+    assert "SYNCVSR_LSM_V2" not in os.environ
+    for kw in cases:
+        f = lambda lg: label_smoothing_kl(lg, targets, v, **kw)
+        v1, g1 = jax.value_and_grad(f)(logits)
+        os.environ["SYNCVSR_LSM_V2"] = "1"
+        try:
+            v2, g2 = jax.value_and_grad(f)(logits)
+        finally:
+            del os.environ["SYNCVSR_LSM_V2"]
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_decoder_accuracy():
     logits = jnp.asarray(np.eye(4)[None, [1, 2, 3]], jnp.float32)  # predicts 1,2,3
     targets = jnp.asarray([[1, 2, -1]])
