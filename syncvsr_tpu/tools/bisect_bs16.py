@@ -20,18 +20,27 @@ Variants (ordered by information gain):
     lsm       — encode + label-smoothing KL on ctc_head logits (no decoder)
     att_barrier — att with an optimization_barrier between decoder logits
                 and the KL (fusion-boundary probe / candidate workaround)
+    modelmetrics — model losses fwd+bwd AND all metric outputs kept live
+                (model returns only the loss, so decoder_acc's argmax over
+                the [16, 49, 5049] decoder logits gets DCE'd there; the
+                full step keeps it)
     full      — the complete train step (known crasher at bs16; control)
     bs12      — full step at batch 12 (probe between the good/bad sizes)
 
-Round-5 findings so far (docs/tpu_session_r05.log): frontend OK 96.2 ms,
-encoder OK 149.8 ms, ctc OK 150.8 ms, dec OK 160.8 ms, model CRASH,
-**att CRASH** — the kernel fault needs the label-smoothing KL applied to
-DECODER logits: the decoder stack alone (sum-sq loss) is fine, and ctc
-exonerates a plain vocab-5049 projection + grads at bs16. `lsm` tests the
-KL at att's exact [16, U, 5049] shape without the decoder; `att_barrier`
-tests whether an unfusable boundary between the two is a workaround.
-Round-3 ruled out the Pallas sync kernel (crash reproduced with
-SYNCVSR_SYNC_PALLAS=0).
+Env knobs: SYNCVSR_LSM_V2=1 selects the reassociated KL (fault-#1 fix);
+SYNCVSR_BISECT_NO_DONATE=1 makes full/bs12 build with donate=False.
+
+Round-5 findings (docs/tpu_session_r05.log): frontend OK 96.2 ms, encoder
+OK 149.8 ms, ctc OK 150.8 ms, dec OK 160.8 ms, lsm OK 149.2 ms, sync OK
+150.2 ms, att CRASH, att_barrier CRASH, **att + SYNCVSR_LSM_V2 OK
+160.1 ms** — fault #1 is XLA:TPU's codegen for the logq-form
+label-smoothing-KL backward on decoder-produced logits (the same KL on
+ctc_head logits at the same [16, 49, 5049] shape is fine, and an
+optimization_barrier does NOT help, so it's layout/fusion-mix dependent);
+the reassociated KL (ops/masking.py SYNCVSR_LSM_V2) dodges it exactly.
+`full` bs16 with V2 still CRASHES → a second fault appears only with more
+of the step in the graph; `sync` alone passes, so it is not a
+single-branch kernel.
 
 Success prints one JSON line with ms/step; a worker crash is the signal.
 """
@@ -105,7 +114,7 @@ def main():
     device_batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()})
 
     if variant in ("frontend", "encoder", "model", "ctc", "att", "sync", "dec",
-                   "lsm", "att_barrier"):
+                   "lsm", "att_barrier", "modelmetrics"):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         def one_loss(m, batch, which):
@@ -186,12 +195,21 @@ def main():
                 out, _ = model.apply(
                     v, **batch, det=False, mutable=["batch_stats"],
                     rngs={"mixup": rng, "dropout": rng})
+                if variant == "modelmetrics":
+                    return out["loss"], out
                 return out["loss"]
 
-            grads = jax.grad(loss)(variables["params"])
+            if variant == "modelmetrics":
+                grads, out = jax.grad(loss, has_aux=True)(variables["params"])
+                # keep every metric output live (the full step does)
+                extra = sum(v.astype(jnp.float32)
+                            for v in jax.tree_util.tree_leaves(out))
+            else:
+                grads = jax.grad(loss)(variables["params"])
+                extra = 0.0
             # reduce so the grads can't be dead-code-eliminated
-            return sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
-                       for g in jax.tree_util.tree_leaves(grads))
+            return extra + sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                               for g in jax.tree_util.tree_leaves(grads))
 
         ms = _time_loop(lambda: step(variables, device_batch))
         print(json.dumps({"variant": variant, "bs": bs,
@@ -203,7 +221,8 @@ def main():
     opts = ({"xla_tpu_scoped_vmem_limit_kib": str(config.train.scoped_vmem_kib)}
             if config.train.scoped_vmem_kib
             and jax.default_backend() != "cpu" else None)
-    step = build_train_step(mesh=None, donate=True, aug_fn=aug,
+    donate = not os.environ.get("SYNCVSR_BISECT_NO_DONATE")
+    step = build_train_step(mesh=None, donate=donate, aug_fn=aug,
                             compiler_options=opts)
 
     holder = {"state": state}
