@@ -24,6 +24,10 @@ Variants (ordered by information gain):
                 (model returns only the loss, so decoder_acc's argmax over
                 the [16, 49, 5049] decoder logits gets DCE'd there; the
                 full step keeps it)
+    opt       — hand-rolled full step: aug + value_and_grad + rng splits +
+                apply_gradients (clip + AdamW), NO current_lr/grad_norm
+                metrics, no donation (splits optimizer-update faults from
+                the lr/grad-norm metric plumbing)
     full      — the complete train step (known crasher at bs16; control)
     bs12      — full step at batch 12 (probe between the good/bad sizes)
 
@@ -215,6 +219,41 @@ def main():
         print(json.dumps({"variant": variant, "bs": bs,
                           "ms_per_step": round(ms, 1), "ok": True}),
               flush=True)
+        return
+
+    if variant == "opt":
+        @jax.jit
+        def opt_step(st, batch):
+            mixup_rng, new_mixup = jax.random.split(st.mixup_rng)
+            dropout_rng, new_dropout = jax.random.split(st.dropout_rng)
+            aug_rng, mixup_rng = jax.random.split(mixup_rng)
+            batch = aug(aug_rng, batch)
+            rngs = {"mixup": mixup_rng, "dropout": dropout_rng}
+
+            def loss_fn(params):
+                variables = {"params": params, "batch_stats": st.batch_stats}
+                out, mutated = st.apply_fn(variables, **batch, det=False,
+                                           rngs=rngs, mutable=["batch_stats"])
+                return out["loss"], (out, mutated)
+
+            (_, (metrics, mutated)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            st = st.apply_gradients(
+                grads=grads, mixup_rng=new_mixup, dropout_rng=new_dropout,
+                batch_stats=mutated["batch_stats"])
+            return st, metrics
+
+        holder = {"state": state}
+
+        def one_opt():
+            holder["state"], metrics = opt_step(holder["state"], device_batch)
+            return metrics["loss"]
+
+        ms = _time_loop(one_opt)
+        print(json.dumps({"variant": variant, "bs": bs,
+                          "ms_per_step": round(ms, 1),
+                          "frames_per_sec": round(bs * frames / (ms / 1e3), 1),
+                          "ok": True}), flush=True)
         return
 
     # full / bs12: the real train step, donation + scoped-vmem as in bench.py
