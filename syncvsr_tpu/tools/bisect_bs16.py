@@ -32,7 +32,11 @@ Variants (ordered by information gain):
     bs12      — full step at batch 12 (probe between the good/bad sizes)
 
 Env knobs: SYNCVSR_LSM_V2=1 selects the reassociated KL (fault-#1 fix);
-SYNCVSR_BISECT_NO_DONATE=1 makes full/bs12 build with donate=False.
+SYNCVSR_BISECT_NO_DONATE=1 makes full/bs12 build with donate=False;
+SYNCVSR_BISECT_STALE_BN=1 makes `opt` write back the OLD batch_stats (the
+BN EMA update gets DCE'd — modelmetrics passed with exactly that, so this
+splits the BN-stats-as-outputs materialization from the optimizer chain);
+SYNCVSR_BISECT_SGD=1 makes `opt` apply plain SGD instead of clip+AdamW.
 
 Round-5 findings (docs/tpu_session_r05.log): frontend OK 96.2 ms, encoder
 OK 149.8 ms, ctc OK 150.8 ms, dec OK 160.8 ms, lsm OK 149.2 ms, sync OK
@@ -238,9 +242,19 @@ def main():
 
             (_, (metrics, mutated)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(st.params)
-            st = st.apply_gradients(
-                grads=grads, mixup_rng=new_mixup, dropout_rng=new_dropout,
-                batch_stats=mutated["batch_stats"])
+            new_bn = (st.batch_stats
+                      if os.environ.get("SYNCVSR_BISECT_STALE_BN")
+                      else mutated["batch_stats"])
+            if os.environ.get("SYNCVSR_BISECT_SGD"):
+                new_params = jax.tree_util.tree_map(
+                    lambda p, g: p - 1e-3 * g, st.params, grads)
+                st = st.replace(params=new_params, step=st.step + 1,
+                                mixup_rng=new_mixup, dropout_rng=new_dropout,
+                                batch_stats=new_bn)
+            else:
+                st = st.apply_gradients(
+                    grads=grads, mixup_rng=new_mixup,
+                    dropout_rng=new_dropout, batch_stats=new_bn)
             return st, metrics
 
         holder = {"state": state}
