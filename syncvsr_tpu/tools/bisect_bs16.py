@@ -38,17 +38,16 @@ BN EMA update gets DCE'd — modelmetrics passed with exactly that, so this
 splits the BN-stats-as-outputs materialization from the optimizer chain);
 SYNCVSR_BISECT_SGD=1 makes `opt` apply plain SGD instead of clip+AdamW.
 
-Round-5 findings (docs/tpu_session_r05.log): frontend OK 96.2 ms, encoder
-OK 149.8 ms, ctc OK 150.8 ms, dec OK 160.8 ms, lsm OK 149.2 ms, sync OK
-150.2 ms, att CRASH, att_barrier CRASH, **att + SYNCVSR_LSM_V2 OK
-160.1 ms** — fault #1 is XLA:TPU's codegen for the logq-form
-label-smoothing-KL backward on decoder-produced logits (the same KL on
-ctc_head logits at the same [16, 49, 5049] shape is fine, and an
-optimization_barrier does NOT help, so it's layout/fusion-mix dependent);
-the reassociated KL (ops/masking.py SYNCVSR_LSM_V2) dodges it exactly.
-`full` bs16 with V2 still CRASHES → a second fault appears only with more
-of the step in the graph; `sync` alone passes, so it is not a
-single-branch kernel.
+TRIAGE COMPLETE (2026-08-19) — full ledger and conclusions in
+docs/bs16_triage.md. Fault #1: XLA:TPU codegen for the logq-form
+label-smoothing-KL backward on decoder-produced logits; fixed outright by
+the reassociated KL (ops/masking.py SYNCVSR_LSM_V2, att CRASH -> 160.1 ms
+OK). Fault #2: ANY program that materializes full parameter updates
+crashes at bs16 (even p - 1e-3*g plain SGD with stale BN and no metrics),
+while the same graph with grads reduced to a scalar passes — an upstream
+XLA:TPU defect, not dodgeable at the JAX level. bs12 runs the complete
+production step clean (161.0 ms = 11,923 fps) but is slower per frame
+than bs8 (~12.3k fps), so bs8 stays the flagship config on merit.
 
 Success prints one JSON line with ms/step; a worker crash is the signal.
 """
