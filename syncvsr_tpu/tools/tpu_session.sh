@@ -1,6 +1,11 @@
 #!/bin/bash
 # One healthy-relay window -> every pending TPU measurement, safest first.
 #
+# STATUS 2026-08-19: every step below HAS BEEN captured (steps 1-5 in
+# docs/tpu_session_r05.log + the full bs16 bisect ledger in
+# docs/bs16_triage.md — triage complete, bs8 confirmed optimal). Nothing
+# is pending; this script remains as the template for future windows.
+#
 # The axon relay dies for hours at a time (CLAUDE.md round 3/4 notes), so
 # when it IS up, capture everything in one go. Order matters:
 #   1. bench.py            — the 4 driver JSON lines (headline evidence).
